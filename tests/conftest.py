@@ -1,0 +1,20 @@
+"""Test harness config: run on a simulated 8-device CPU mesh.
+
+Tests never require TPU hardware; sharding logic is exercised on
+``--xla_force_host_platform_device_count=8`` CPU devices (SURVEY.md §4).
+Must run before the first jax import.
+"""
+import os
+
+# The harness exports JAX_PLATFORMS=axon (TPU tunnel) and a sitecustomize on
+# PYTHONPATH imports jax at interpreter startup, so env vars are too late —
+# use jax.config (safe any time before backend initialization). Tests run on
+# simulated CPU devices; opt-in TPU runs via PYGLM_TEST_TPU=1.
+if not os.environ.get("PYGLM_TEST_TPU"):
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

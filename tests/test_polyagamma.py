@@ -1,0 +1,119 @@
+"""PG sampler statistical tests (SURVEY.md §4: moment + KS tests per b-regime,
+covering each dispatch branch of the hybrid — Devroye / gamma-series / normal).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyglm_tpu.ops.polyagamma import (
+    pg_devroye, pg_gamma_series, pg_normal_approx, polya_gamma,
+    pg_mean, pg_var,
+)
+
+N_SAMPLES = 40_000
+
+
+def _true_moments(b, c):
+    b, c = float(b), float(c)
+    if abs(c) < 1e-8:
+        return b / 4.0, b / 24.0
+    m = b / (2 * c) * np.tanh(c / 2)
+    t = np.tanh(c / 2)
+    v = b * (2 * t - c * (1 - t * t)) / (4 * c ** 3)
+    return m, v
+
+
+def _check_moments(samples, b, c, n_se=6.0):
+    samples = np.asarray(samples, np.float64)
+    m, v = _true_moments(b, c)
+    n = samples.size
+    se_mean = np.sqrt(v / n)
+    assert abs(samples.mean() - m) < n_se * se_mean + 1e-6, (
+        f"mean {samples.mean():.6f} vs {m:.6f} (b={b}, c={c})")
+    # SE of sample variance ~ sqrt((mu4 - v^2)/n); estimate mu4 empirically.
+    mu4 = np.mean((samples - samples.mean()) ** 4)
+    se_var = np.sqrt(max(mu4 - v * v, 1e-20) / n)
+    assert abs(samples.var() - v) < n_se * se_var + 1e-7, (
+        f"var {samples.var():.6g} vs {v:.6g} (b={b}, c={c})")
+    assert np.all(samples > 0)
+
+
+def test_pg_moment_formulas():
+    # Closed forms vs their small-c series switchover.
+    for c in [0.0, 1e-4, 0.1, 0.19, 0.21, 1.0, 5.0, 30.0]:
+        m, v = _true_moments(3.0, max(c, 1e-12) if c else 0.0)
+        np.testing.assert_allclose(float(pg_mean(3.0, c)), m, rtol=1e-4)
+        np.testing.assert_allclose(float(pg_var(3.0, c)), v, rtol=2e-3)
+
+
+@pytest.mark.parametrize("c", [0.0, 0.5, 1.5, 4.0, 12.0])
+def test_devroye_moments(c):
+    key = jax.random.key(hash(("dev", c)) % (2 ** 31))
+    cs = jnp.full((N_SAMPLES,), c, jnp.float32)
+    _check_moments(pg_devroye(key, cs), 1.0, c)
+
+
+def test_devroye_negative_c_symmetric():
+    key = jax.random.key(7)
+    s_pos = np.asarray(pg_devroye(key, jnp.full((N_SAMPLES,), 2.0)))
+    s_neg = np.asarray(pg_devroye(key, jnp.full((N_SAMPLES,), -2.0)))
+    np.testing.assert_allclose(s_pos, s_neg)  # PG(b,c) depends on |c|
+
+
+@pytest.mark.parametrize("b,c", [
+    (1.0, 0.0), (1.0, 2.0),          # overlaps Devroye regime (cross-check)
+    (0.3, 1.0),                       # b < 1 (NB with small r, y=0)
+    (2.5, 0.0), (2.5, 3.0),           # "alternate" regime
+    (13.0, 1.0), (40.0, 6.0),         # "saddlepoint" regime
+])
+def test_gamma_series_moments(b, c):
+    key = jax.random.key(hash(("gam", b, c)) % (2 ** 31))
+    bs = jnp.full((N_SAMPLES,), b, jnp.float32)
+    cs = jnp.full((N_SAMPLES,), c, jnp.float32)
+    _check_moments(pg_gamma_series(key, bs, cs), b, c)
+
+
+@pytest.mark.parametrize("b,c", [(100.0, 0.0), (200.0, 5.0)])
+def test_normal_approx_moments(b, c):
+    key = jax.random.key(hash(("nrm", b, c)) % (2 ** 31))
+    bs = jnp.full((N_SAMPLES,), b, jnp.float32)
+    cs = jnp.full((N_SAMPLES,), c, jnp.float32)
+    _check_moments(pg_normal_approx(key, bs, cs), b, c)
+
+
+def test_devroye_vs_gamma_series_ks():
+    """Two-sample KS: exact Devroye vs gamma-series at b=1 must agree."""
+    n = 20_000
+    k1, k2 = jax.random.split(jax.random.key(3))
+    c = jnp.full((n,), 1.0, jnp.float32)
+    s1 = np.sort(np.asarray(pg_devroye(k1, c), np.float64))
+    s2 = np.sort(np.asarray(pg_gamma_series(k2, jnp.ones((n,)), c), np.float64))
+    grid = np.sort(np.concatenate([s1, s2]))
+    cdf1 = np.searchsorted(s1, grid, side="right") / n
+    cdf2 = np.searchsorted(s2, grid, side="right") / n
+    ks = np.max(np.abs(cdf1 - cdf2))
+    # alpha=1e-4 two-sample threshold: c(alpha)*sqrt(2/n), c(1e-4)~1.95
+    assert ks < 1.95 * np.sqrt(2.0 / n), f"KS={ks:.4f}"
+
+
+def test_hybrid_dispatch_mixed_b():
+    """One batch spanning every dispatch regime, as in NB (b = y + r)."""
+    key = jax.random.key(11)
+    b = jnp.asarray([0.0, 1.0, 2.5, 13.0, 80.0, 200.0], jnp.float32)
+    b = jnp.tile(b, (N_SAMPLES // 6 + 1,))[:N_SAMPLES]
+    c = jnp.full_like(b, 1.5)
+    out = np.asarray(polya_gamma(key, b, c))
+    assert np.all(out[np.asarray(b) == 0] == 0)
+    for bv in [1.0, 2.5, 13.0, 80.0, 200.0]:
+        sel = out[np.isclose(np.asarray(b), bv)]
+        _check_moments(sel, bv, 1.5)
+
+
+def test_extreme_c_no_nans():
+    key = jax.random.key(5)
+    c = jnp.asarray([0.0, 1e-6, 1e-3, 50.0, 200.0], jnp.float32)
+    out = np.asarray(pg_devroye(key, c))
+    assert np.all(np.isfinite(out)) and np.all(out > 0)
+    out2 = np.asarray(pg_gamma_series(key, jnp.full((5,), 3.0), c))
+    assert np.all(np.isfinite(out2)) and np.all(out2 > 0)
