@@ -1,4 +1,264 @@
-"""Placeholder — full model layer lands next milestone."""
-NonlinearAutoregressiveModel = GLM = BernoulliGLM = SparseBernoulliGLM = None
-GaussianGLM = SparseGaussianGLM = NegativeBinomialGLM = None
-SparseNegativeBinomialGLM = BinomialGLM = None
+"""User-facing model classes — the reference API surface, TPU-backed.
+
+Mirrors ``pyglm/models.py``: ``NonlinearAutoregressiveModel`` (alias ``GLM``)
+with ``add_data`` / ``generate`` / ``resample_model`` / ``log_likelihood`` /
+``means`` and properties ``A`` / ``W`` / ``bias``, plus the pre-wired
+convenience classes (``SparseBernoulliGLM`` etc., reference ~bottom of
+models.py). The class is a thin stateful shell around pure jitted kernels:
+all arrays live on device as a ``GLMState`` pytree; one ``resample_model``
+call is one compiled Gibbs sweep.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyglm_tpu.ops.basis import cosine_basis, design_matrix
+from pyglm_tpu.models.observations import make_observation
+from pyglm_tpu.models.networks import make_network
+from pyglm_tpu.models.sweep import (
+    GLMData, GLMState, make_gibbs_sweep, make_log_likelihood,
+    make_generator, init_state_from_prior,
+)
+
+
+class NonlinearAutoregressiveModel:
+    """Fully-Bayesian network GLM of spike trains (Gibbs inference).
+
+    psi[t, n] = b[n] + sum_j A[j,n] sum_k W[j,n,k] (Y[:,j] * basis_k)(t-1)
+    Y[t, n] ~ observation(link(psi[t, n]))
+    (A, W) ~ network prior.
+
+    Args:
+      N: number of neurons.
+      B, L: basis dimension / filter length (ignored if `basis` given).
+      basis: optional (L, B) filter matrix.
+      observation: 'bernoulli' | 'binomial' | 'negative_binomial' | 'gaussian'
+        or a family object from pyglm_tpu.models.observations.
+      network: 'dense' | 'erdos_renyi' | 'sbm' | 'latent_distance' or a
+        config object from pyglm_tpu.models.networks.
+      spike_and_slab: resample a sparse adjacency A jointly with W.
+      seed: PRNG seed for this model's chain.
+    """
+
+    def __init__(self, N: int, B: int = 4, L: int = 10, basis=None,
+                 observation="bernoulli", network="dense",
+                 spike_and_slab: bool = False, seed: int = 0,
+                 t_chunk: int = 512, precision: str = "highest",
+                 obs_kwargs: Optional[dict] = None,
+                 net_kwargs: Optional[dict] = None):
+        if basis is None:
+            basis = cosine_basis(B=B, L=L)
+        basis = np.asarray(basis, np.float32)
+        self.N = N
+        self.L, self.B = basis.shape
+        self.basis = basis
+        self.spike_and_slab = bool(spike_and_slab)
+
+        self.observation = (make_observation(observation, **(obs_kwargs or {}))
+                            if isinstance(observation, str) else observation)
+        self.network = (make_network(network, N=N, B=self.B,
+                                     **(net_kwargs or {}))
+                        if isinstance(network, str) else network)
+
+        self._key = jax.random.key(seed)
+        self.state: GLMState = init_state_from_prior(
+            self._next_key(), self.observation, self.network,
+            N, self.B, self.spike_and_slab)
+
+        self._sweep = jax.jit(make_gibbs_sweep(
+            self.observation, self.network, N, self.B, self.spike_and_slab,
+            t_chunk=t_chunk, precision=precision))
+        self._loglik = jax.jit(make_log_likelihood(self.observation, N, self.B))
+        self._generate = jax.jit(
+            make_generator(self.observation, N, self.B),
+            static_argnames=("T",))
+        self.datas: list[GLMData] = []
+
+    # -- plumbing ----------------------------------------------------------
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @property
+    def P(self) -> int:
+        return self.N * self.B + 1
+
+    # -- reference API surface ----------------------------------------------
+
+    def add_data(self, Y) -> None:
+        """Register a (T, N) spike matrix: builds the design tensor on device
+        (reference: models.py add_data -> basis convolution)."""
+        Y = jnp.asarray(Y, jnp.float32)
+        assert Y.ndim == 2 and Y.shape[1] == self.N, (
+            f"expected (T, {self.N}) data, got {Y.shape}")
+        Xf = design_matrix(Y, self.basis)
+        self.datas.append(GLMData(Y=Y, Xf=Xf))
+
+    def generate(self, T: int, keep: bool = True):
+        """Sample a (T, N) spike train from the current model parameters."""
+        Y, _ = self._generate(self._next_key(), self.state, self.basis, T=T)
+        Y = np.asarray(Y)
+        if keep:
+            self.add_data(Y)
+        return Y
+
+    def resample_model(self):
+        """One full Gibbs sweep over weights, adjacency, aux, and network."""
+        assert self.datas, "call add_data() or generate(keep=True) first"
+        self.state, diag = self._sweep(
+            self._next_key(), self.state, tuple(self.datas))
+        return {k: float(v) for k, v in diag.items()}
+
+    def log_likelihood(self, data=None) -> float:
+        """Total log-likelihood of registered data (or a provided (T,N) Y)."""
+        if data is None:
+            return float(sum(self._loglik(self.state, d) for d in self.datas))
+        Y = jnp.asarray(data, jnp.float32)
+        d = GLMData(Y=Y, Xf=design_matrix(Y, self.basis))
+        return float(self._loglik(self.state, d))
+
+    def log_probability(self) -> float:
+        return self.log_likelihood()
+
+    @property
+    def A(self) -> np.ndarray:
+        """(N_pre, N_post) adjacency sample."""
+        return np.asarray(self.state.A)
+
+    @property
+    def W(self) -> np.ndarray:
+        """(N_pre, N_post, B) weight sample (zero where A == 0)."""
+        return np.asarray(self.state.W)
+
+    @property
+    def W_effective(self) -> np.ndarray:
+        """(N_pre, N_post) net synaptic weights: sum over basis of A*W."""
+        return np.asarray(jnp.sum(self.state.A[:, :, None] * self.state.W,
+                                  axis=-1))
+
+    @property
+    def bias(self) -> np.ndarray:
+        return np.asarray(self.state.b)
+
+    @property
+    def means(self):
+        """Per-dataset conditional mean rates E[y_t | history] (reference:
+        models.py `means` property)."""
+        from pyglm_tpu.models.weights import pack_weights
+        out = []
+        w_full = pack_weights(self.state.A, self.state.W, self.state.b)
+        for d in self.datas:
+            psi = d.Xf @ w_full
+            out.append(np.asarray(self.observation.mean(psi, self.state.aux)))
+        return out
+
+    # -- conveniences beyond the reference -----------------------------------
+
+    def fit(self, n_samples: int = 100, n_burnin: int = 0, thin: int = 1,
+            callback=None, verbose: bool = False):
+        """Run the Gibbs chain, returning thinned posterior samples as host
+        arrays: dict with 'A' (S,N,N), 'W' (S,N,N,B), 'bias' (S,N), 'lls'."""
+        samples = {"A": [], "W": [], "bias": [], "lls": []}
+        for it in range(n_burnin + n_samples):
+            diag = self.resample_model()
+            if it >= n_burnin and (it - n_burnin) % thin == 0:
+                samples["A"].append(self.A)
+                samples["W"].append(self.W)
+                samples["bias"].append(self.bias)
+                samples["lls"].append(diag["log_likelihood"])
+            if callback is not None:
+                callback(self, it, diag)
+            if verbose and it % 10 == 0:
+                print(f"iter {it}: ll={diag['log_likelihood']:.1f} "
+                      f"edges={diag['n_edges']:.0f}")
+        return {k: np.asarray(v) for k, v in samples.items()}
+
+    def copy_sample(self):
+        """Host snapshot of the current parameter sample (pickle-friendly)."""
+        return jax.tree.map(np.asarray, self.state)
+
+
+GLM = NonlinearAutoregressiveModel
+
+
+def _merge_net_defaults(kw: dict, **defaults) -> dict:
+    """Merge convenience-class network-prior defaults under user overrides.
+
+    Autoregressive models with unbounded links (Gaussian, NB's exp-mean)
+    need small weight priors for the forward dynamics to be stable; the
+    spiking Bernoulli link is bounded so sigma_w = 1 is fine.
+    """
+    net_kwargs = dict(defaults)
+    net_kwargs.update(kw.get("net_kwargs") or {})
+    kw["net_kwargs"] = net_kwargs
+    return kw
+
+
+class BernoulliGLM(NonlinearAutoregressiveModel):
+    """Dense Bernoulli GLM (reference: pyglm/models.py BernoulliGLM)."""
+    def __init__(self, N, **kw):
+        kw.setdefault("observation", "bernoulli")
+        kw.setdefault("network", "dense")
+        kw.setdefault("spike_and_slab", False)
+        super().__init__(N, **kw)
+
+
+class SparseBernoulliGLM(NonlinearAutoregressiveModel):
+    """Spike-and-slab Bernoulli GLM (reference: SparseBernoulliGLM)."""
+    def __init__(self, N, **kw):
+        kw.setdefault("observation", "bernoulli")
+        kw.setdefault("network", "erdos_renyi")
+        kw.setdefault("spike_and_slab", True)
+        super().__init__(N, **kw)
+
+
+class GaussianGLM(NonlinearAutoregressiveModel):
+    """Dense linear-Gaussian model (reference: GaussianGLM)."""
+    def __init__(self, N, **kw):
+        kw.setdefault("observation", "gaussian")
+        kw.setdefault("network", "dense")
+        kw.setdefault("spike_and_slab", False)
+        kw = _merge_net_defaults(kw, sigma_w=0.05, mu_bias=0.0)
+        super().__init__(N, **kw)
+
+
+class SparseGaussianGLM(NonlinearAutoregressiveModel):
+    """Spike-and-slab linear-Gaussian model (reference: SparseGaussianGLM)."""
+    def __init__(self, N, **kw):
+        kw.setdefault("observation", "gaussian")
+        kw.setdefault("network", "erdos_renyi")
+        kw.setdefault("spike_and_slab", True)
+        kw = _merge_net_defaults(kw, sigma_w=0.05, mu_bias=0.0)
+        super().__init__(N, **kw)
+
+
+class NegativeBinomialGLM(NonlinearAutoregressiveModel):
+    """Dense negative-binomial count GLM (PG-augmented, b = y + r)."""
+    def __init__(self, N, **kw):
+        kw.setdefault("observation", "negative_binomial")
+        kw.setdefault("network", "dense")
+        kw.setdefault("spike_and_slab", False)
+        kw = _merge_net_defaults(kw, sigma_w=0.003, mu_bias=-2.0)
+        super().__init__(N, **kw)
+
+
+class SparseNegativeBinomialGLM(NonlinearAutoregressiveModel):
+    def __init__(self, N, **kw):
+        kw.setdefault("observation", "negative_binomial")
+        kw.setdefault("network", "erdos_renyi")
+        kw.setdefault("spike_and_slab", True)
+        kw = _merge_net_defaults(kw, sigma_w=0.003, mu_bias=-2.0)
+        super().__init__(N, **kw)
+
+
+class BinomialGLM(NonlinearAutoregressiveModel):
+    def __init__(self, N, **kw):
+        kw.setdefault("observation", "binomial")
+        kw.setdefault("network", "dense")
+        kw.setdefault("spike_and_slab", False)
+        super().__init__(N, **kw)

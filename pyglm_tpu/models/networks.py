@@ -1,0 +1,416 @@
+"""Network priors on the synaptic adjacency/weights (A, W).
+
+Capability parity with ``pyglm/networks.py`` (dense / independent-sparse
+Erdős–Rényi / stochastic-block / latent-distance network models), rebuilt
+functionally: each prior is a frozen config dataclass with
+
+  init_state(key)            -> pytree of sampled hyperparameters
+  edge_hypers(state)         -> EdgeHypers (per-edge mu, Lambda, logit rho)
+  resample(key, state, A, W) -> new state  (one Gibbs move on hyperparams)
+
+All N^2 directed edges (including self-connections) carry priors, matching
+the reference's autoregressive self-history edges.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pyglm_tpu.models.weights import EdgeHypers
+from pyglm_tpu.ops.linalg import (
+    NIWParams, niw_posterior, sample_niw,
+)
+from pyglm_tpu.utils.utils import logit
+
+
+def _bias_hypers(cfg, N):
+    mu_b = jnp.full((N,), cfg.mu_bias, jnp.float32)
+    lam_b = jnp.full((N,), 1.0 / cfg.sigma_bias ** 2, jnp.float32)
+    return mu_b, lam_b
+
+
+def _niw_params(cfg) -> NIWParams:
+    B = cfg.B
+    return NIWParams(
+        mu0=jnp.full((B,), cfg.niw_mu0, jnp.float32),
+        kappa0=jnp.asarray(cfg.niw_kappa0, jnp.float32),
+        nu0=jnp.asarray(cfg.niw_nu0 if cfg.niw_nu0 is not None else B + 2,
+                        jnp.float32),
+        Psi0=jnp.eye(B, dtype=jnp.float32) * cfg.niw_psi0,
+    )
+
+
+def _masked_niw_resample(key, cfg, W, mask):
+    """(mu, Sigma) ~ NIW posterior from active-edge weights W[mask].
+
+    Masked sufficient stats keep shapes static under jit (the reference
+    gathers W[A==1] into a ragged array; here inactive edges contribute 0).
+    """
+    m = mask[..., None]
+    n = jnp.sum(mask)
+    xbar = jnp.sum(m * W, axis=(0, 1)) / jnp.maximum(n, 1e-12)
+    diffs = (W - xbar) * m
+    S = jnp.einsum("ijb,ijc->bc", diffs, diffs)
+    post = niw_posterior(_niw_params(cfg), n, xbar, S)
+    return sample_niw(key, post)
+
+
+# ---------------------------------------------------------------------------
+# Dense (fixed rho = 1) and Erdős–Rényi (independent sparse) networks
+# ---------------------------------------------------------------------------
+
+class GaussianWeightsState(NamedTuple):
+    mu: jax.Array      # (B,) shared weight prior mean
+    Sigma: jax.Array   # (B, B) shared weight prior covariance
+    rho: jax.Array     # () global connection probability
+
+
+@dataclass(frozen=True)
+class DenseNetworkConfig:
+    """All edges present (rho=1); shared NIW-learned Gaussian weight prior.
+
+    Reference analog: pyglm/networks.py dense Gaussian network w/ NIW.
+    """
+    N: int
+    B: int
+    mu_bias: float = -2.0
+    sigma_bias: float = 1.0
+    learn_weight_prior: bool = True
+    niw_mu0: float = 0.0
+    niw_kappa0: float = 1.0
+    niw_nu0: float | None = None
+    niw_psi0: float = 1.0
+    sigma_w: float = 1.0         # fixed prior scale when not learning
+    name: str = "dense"
+
+    def init_state(self, key) -> GaussianWeightsState:
+        B = self.B
+        return GaussianWeightsState(
+            mu=jnp.zeros((B,), jnp.float32),
+            Sigma=jnp.eye(B, dtype=jnp.float32) * self.sigma_w,
+            rho=jnp.asarray(1.0, jnp.float32),
+        )
+
+    def edge_hypers(self, state: GaussianWeightsState) -> EdgeHypers:
+        N, B = self.N, self.B
+        Lam = jnp.linalg.inv(state.Sigma)
+        mu = jnp.broadcast_to(state.mu, (N, N, B))
+        Lam = jnp.broadcast_to(Lam, (N, N, B, B))
+        # rho == 1: logit clipped to keep spike-slab numerics finite if a
+        # sparse resampler is (mis)configured on a dense prior.
+        lrho = jnp.full((N, N), 20.0, jnp.float32)
+        mu_b, lam_b = _bias_hypers(self, N)
+        return EdgeHypers(mu, Lam, lrho, mu_b, lam_b)
+
+    def resample(self, key, state: GaussianWeightsState, A, W):
+        if not self.learn_weight_prior:
+            return state
+        mu, Sigma = _masked_niw_resample(key, self, W, A)
+        return GaussianWeightsState(mu, Sigma, state.rho)
+
+
+@dataclass(frozen=True)
+class ErdosRenyiConfig:
+    """Independent-Bernoulli sparsity: A_ij ~ Bern(rho), rho ~ Beta(a, b);
+    shared (optionally NIW-learned) Gaussian weight prior on active edges.
+
+    Reference analog: pyglm/networks.py independent/sparse network.
+    """
+    N: int
+    B: int
+    a_rho: float = 1.0
+    b_rho: float = 1.0
+    rho_init: float = 0.25
+    learn_rho: bool = True
+    mu_bias: float = -2.0
+    sigma_bias: float = 1.0
+    learn_weight_prior: bool = True
+    niw_mu0: float = 0.0
+    niw_kappa0: float = 1.0
+    niw_nu0: float | None = None
+    niw_psi0: float = 1.0
+    sigma_w: float = 1.0
+    name: str = "erdos_renyi"
+
+    def init_state(self, key) -> GaussianWeightsState:
+        return GaussianWeightsState(
+            mu=jnp.zeros((self.B,), jnp.float32),
+            Sigma=jnp.eye(self.B, dtype=jnp.float32) * self.sigma_w,
+            rho=jnp.asarray(self.rho_init, jnp.float32),
+        )
+
+    def edge_hypers(self, state: GaussianWeightsState) -> EdgeHypers:
+        N, B = self.N, self.B
+        Lam = jnp.linalg.inv(state.Sigma)
+        mu = jnp.broadcast_to(state.mu, (N, N, B))
+        Lam = jnp.broadcast_to(Lam, (N, N, B, B))
+        lrho = jnp.full((N, N), 1.0, jnp.float32) * logit(
+            jnp.clip(state.rho, 1e-5, 1.0 - 1e-5))
+        mu_b, lam_b = _bias_hypers(self, N)
+        return EdgeHypers(mu, Lam, lrho, mu_b, lam_b)
+
+    def resample(self, key, state: GaussianWeightsState, A, W):
+        k1, k2 = jax.random.split(key)
+        rho = state.rho
+        if self.learn_rho:
+            n_act = jnp.sum(A)
+            n_tot = A.size
+            rho = jax.random.beta(
+                k1, self.a_rho + n_act, self.b_rho + n_tot - n_act)
+        mu, Sigma = state.mu, state.Sigma
+        if self.learn_weight_prior:
+            mu, Sigma = _masked_niw_resample(k2, self, W, A)
+        return GaussianWeightsState(mu, Sigma, rho)
+
+
+# ---------------------------------------------------------------------------
+# Stochastic block model
+# ---------------------------------------------------------------------------
+
+class SBMState(NamedTuple):
+    c: jax.Array        # (N,) int32 block labels
+    pi: jax.Array       # (K,) block probabilities
+    rho: jax.Array      # (K, K) block connection probabilities
+    mu: jax.Array       # (K, K, B) block weight means
+    Sigma: jax.Array    # (K, K, B, B) block weight covariances
+
+
+@dataclass(frozen=True)
+class SBMConfig:
+    """Stochastic block model: c_n ~ Cat(pi), A_ij ~ Bern(rho[c_i, c_j]),
+    W_ij ~ N(mu[c_i, c_j], Sigma[c_i, c_j]) on active edges.
+
+    Label resampling is a sequential Gibbs scan over neurons (labels
+    interact through shared edges) consuming precomputed (K, K, N, N)
+    edge-loglik tables — O(N^2 K^2) vectorized work + an O(N) scan, vs the
+    reference's pure-Python O(N^2 K) loop (pyglm/networks.py SBM).
+    """
+    N: int
+    B: int
+    K: int = 5
+    alpha_pi: float = 1.0
+    a_rho: float = 1.0
+    b_rho: float = 1.0
+    mu_bias: float = -2.0
+    sigma_bias: float = 1.0
+    niw_mu0: float = 0.0
+    niw_kappa0: float = 1.0
+    niw_nu0: float | None = None
+    niw_psi0: float = 1.0
+    sigma_w: float = 1.0
+    rho_init: float = 0.25
+    name: str = "sbm"
+
+    def init_state(self, key) -> SBMState:
+        N, B, K = self.N, self.B, self.K
+        k1, k2 = jax.random.split(key)
+        c = jax.random.randint(k1, (N,), 0, K)
+        pi = jnp.full((K,), 1.0 / K, jnp.float32)
+        rho = jnp.full((K, K), self.rho_init, jnp.float32)
+        mu = jnp.zeros((K, K, B), jnp.float32)
+        Sigma = jnp.broadcast_to(
+            jnp.eye(B, dtype=jnp.float32) * self.sigma_w, (K, K, B, B)).copy()
+        return SBMState(c, pi, rho, mu, Sigma)
+
+    def edge_hypers(self, state: SBMState) -> EdgeHypers:
+        N, B = self.N, self.B
+        ci, cj = state.c[:, None], state.c[None, :]
+        mu = state.mu[ci, cj]                  # (N, N, B)
+        Lam_blocks = jnp.linalg.inv(state.Sigma)   # (K, K, B, B)
+        Lam = Lam_blocks[ci, cj]
+        lrho = logit(jnp.clip(state.rho, 1e-5, 1 - 1e-5))[ci, cj]
+        mu_b, lam_b = _bias_hypers(self, N)
+        return EdgeHypers(mu, Lam, lrho, mu_b, lam_b)
+
+    def _edge_tables(self, state: SBMState, A, W):
+        """tbl[k1,k2,i,j] = log Bern(A_ij; rho[k1,k2])
+        + A_ij * log N(W_ij; mu[k1,k2], Sigma[k1,k2])."""
+        K, B = self.K, self.B
+        rho = jnp.clip(state.rho, 1e-5, 1 - 1e-5)
+        logB = (A[None, None] * jnp.log(rho)[:, :, None, None]
+                + (1 - A)[None, None] * jnp.log1p(-rho)[:, :, None, None])
+        Lam = jnp.linalg.inv(state.Sigma)                     # (K,K,B,B)
+        C = jnp.linalg.cholesky(state.Sigma)
+        logdet = 2 * jnp.sum(
+            jnp.log(jnp.diagonal(C, axis1=-2, axis2=-1)), axis=-1)  # (K,K)
+        d = W[None, None] - state.mu[:, :, None, None]        # (K,K,N,N,B)
+        quad = jnp.einsum("xyijb,xybc,xyijc->xyij", d, Lam, d)
+        logN = -0.5 * (quad + logdet[:, :, None, None]
+                       + B * jnp.log(2 * jnp.pi))
+        return logB + A[None, None] * logN
+
+    def resample(self, key, state: SBMState, A, W):
+        N, K, B = self.N, self.K, self.B
+        k_lab, k_pi, k_rho, k_niw = jax.random.split(key, 4)
+
+        # --- labels: sequential Gibbs scan over neurons -------------------
+        tbl = self._edge_tables(state, A, W)                  # (K,K,N,N)
+        tblT = tbl.transpose(0, 1, 3, 2)
+        onehot = jax.nn.one_hot(state.c, K)                   # (N, K)
+        keys = jax.random.split(k_lab, N)
+
+        def body(onehot, xs):
+            n, kn = xs
+            out_t = lax.dynamic_slice(
+                tbl, (0, 0, n, 0), (K, K, 1, N))[:, :, 0, :]
+            in_t = lax.dynamic_slice(
+                tblT, (0, 0, n, 0), (K, K, 1, N))[:, :, 0, :]
+            # exclude self-edge from the incoming sum (already in out_t)
+            self_mask = 1.0 - jax.nn.one_hot(n, N)
+            ll_out = jnp.einsum("xpm,mp->x", out_t, onehot)
+            ll_in = jnp.einsum("pxm,mp->x", in_t, onehot * self_mask[:, None])
+            logits = jnp.log(state.pi + 1e-12) + ll_out + ll_in
+            cn = jax.random.categorical(kn, logits)
+            onehot = onehot.at[n].set(jax.nn.one_hot(cn, K))
+            return onehot, cn
+
+        onehot, c = lax.scan(body, onehot, (jnp.arange(N), keys))
+
+        # --- block hyperparameters ---------------------------------------
+        counts = jnp.sum(onehot, axis=0)                      # (K,)
+        pi = jax.random.dirichlet(k_pi, self.alpha_pi + counts)
+        pair = jnp.einsum("ix,jy->xyij", onehot, onehot)      # (K,K,N,N)
+        n_pair = jnp.sum(pair, axis=(2, 3))
+        n_act = jnp.einsum("xyij,ij->xy", pair, A)
+        rho = jax.random.beta(k_rho, self.a_rho + n_act,
+                              self.b_rho + n_pair - n_act)
+
+        mask = pair * A[None, None]                           # (K,K,N,N)
+        n_w = jnp.sum(mask, axis=(2, 3))
+        xbar = (jnp.einsum("xyij,ijb->xyb", mask, W)
+                / jnp.maximum(n_w, 1e-12)[..., None])
+        d = W[None, None] - xbar[:, :, None, None]
+        S = jnp.einsum("xyij,xyijb,xyijc->xybc", mask, d, d)
+        niw0 = _niw_params(self)
+
+        def block_niw(kk, n, xb, Sb):
+            post = niw_posterior(niw0, n, xb, Sb)
+            return sample_niw(kk, post)
+
+        kks = jax.random.split(k_niw, K * K).reshape(K, K)
+        mu, Sigma = jax.vmap(jax.vmap(block_niw))(
+            kks, n_w, xbar, S)
+        return SBMState(c.astype(jnp.int32), pi, rho, mu, Sigma)
+
+
+# ---------------------------------------------------------------------------
+# Latent-distance network
+# ---------------------------------------------------------------------------
+
+class LatentDistanceState(NamedTuple):
+    L: jax.Array        # (N, dim) latent positions
+    gamma: jax.Array    # () connection-probability offset
+    mu: jax.Array       # (B,) shared weight prior mean
+    Sigma: jax.Array    # (B, B)
+
+
+@dataclass(frozen=True)
+class LatentDistanceConfig:
+    """rho_ij = logistic(-||l_i - l_j||^2 + gamma); (l, gamma) sampled by
+    jitted leapfrog HMC with autodiff gradients (the reference hand-codes
+    the HMC gradient; pyglm/networks.py latent-distance model).
+    """
+    N: int
+    B: int
+    dim: int = 2
+    sigma_l: float = 1.0
+    sigma_gamma: float = 2.0
+    gamma_init: float = 0.0
+    hmc_eps: float = 0.01
+    hmc_steps: int = 20
+    mu_bias: float = -2.0
+    sigma_bias: float = 1.0
+    learn_weight_prior: bool = True
+    niw_mu0: float = 0.0
+    niw_kappa0: float = 1.0
+    niw_nu0: float | None = None
+    niw_psi0: float = 1.0
+    sigma_w: float = 1.0
+    name: str = "latent_distance"
+
+    def init_state(self, key) -> LatentDistanceState:
+        L = self.sigma_l * jax.random.normal(key, (self.N, self.dim))
+        return LatentDistanceState(
+            L=L.astype(jnp.float32),
+            gamma=jnp.asarray(self.gamma_init, jnp.float32),
+            mu=jnp.zeros((self.B,), jnp.float32),
+            Sigma=jnp.eye(self.B, dtype=jnp.float32) * self.sigma_w,
+        )
+
+    def _logit_rho(self, L, gamma):
+        d2 = jnp.sum((L[:, None, :] - L[None, :, :]) ** 2, axis=-1)
+        return gamma - d2
+
+    def edge_hypers(self, state: LatentDistanceState) -> EdgeHypers:
+        N, B = self.N, self.B
+        Lam = jnp.linalg.inv(state.Sigma)
+        mu = jnp.broadcast_to(state.mu, (N, N, B))
+        Lam = jnp.broadcast_to(Lam, (N, N, B, B))
+        lrho = jnp.clip(self._logit_rho(state.L, state.gamma), -15.0, 15.0)
+        mu_b, lam_b = _bias_hypers(self, N)
+        return EdgeHypers(mu, Lam, lrho, mu_b, lam_b)
+
+    def resample(self, key, state: LatentDistanceState, A, W):
+        k_hmc, k_mom, k_acc, k_niw = jax.random.split(key, 4)
+
+        def potential(params):
+            L, gamma = params
+            lrho = self._logit_rho(L, gamma)
+            # log Bern(A; logistic(lrho)) = A*lrho - softplus(lrho)
+            ll = jnp.sum(A * lrho - jnp.logaddexp(lrho, 0.0))
+            lp = (-0.5 * jnp.sum(L ** 2) / self.sigma_l ** 2
+                  - 0.5 * gamma ** 2 / self.sigma_gamma ** 2)
+            return -(ll + lp)
+
+        params = (state.L, state.gamma)
+        mom = (jax.random.normal(k_mom, state.L.shape),
+               jax.random.normal(jax.random.fold_in(k_mom, 1), ()))
+        grad_fn = jax.grad(potential)
+        eps = self.hmc_eps
+
+        def leapfrog(carry, _):
+            p, m = carry
+            g = grad_fn(p)
+            m = jax.tree.map(lambda mi, gi: mi - 0.5 * eps * gi, m, g)
+            p = jax.tree.map(lambda pi, mi: pi + eps * mi, p, m)
+            g = grad_fn(p)
+            m = jax.tree.map(lambda mi, gi: mi - 0.5 * eps * gi, m, g)
+            return (p, m), None
+
+        (params_new, mom_new), _ = lax.scan(
+            leapfrog, (params, mom), None, length=self.hmc_steps)
+
+        def kinetic(m):
+            return 0.5 * sum(jnp.sum(x ** 2) for x in jax.tree.leaves(m))
+
+        log_alpha = (potential(params) + kinetic(mom)
+                     - potential(params_new) - kinetic(mom_new))
+        accept = jnp.log(jax.random.uniform(k_acc, ())) < log_alpha
+        L = jnp.where(accept, params_new[0], state.L)
+        gamma = jnp.where(accept, params_new[1], state.gamma)
+
+        mu, Sigma = state.mu, state.Sigma
+        if self.learn_weight_prior:
+            mu, Sigma = _masked_niw_resample(k_niw, self, W, A)
+        return LatentDistanceState(L, gamma, mu, Sigma)
+
+
+NetworkConfig = (DenseNetworkConfig | ErdosRenyiConfig | SBMConfig
+                 | LatentDistanceConfig)
+
+
+def make_network(name: str, N: int, B: int, **kwargs):
+    name = name.lower()
+    if name == "dense":
+        return DenseNetworkConfig(N=N, B=B, **kwargs)
+    if name in ("erdos_renyi", "er", "independent", "sparse"):
+        return ErdosRenyiConfig(N=N, B=B, **kwargs)
+    if name in ("sbm", "stochastic_block"):
+        return SBMConfig(N=N, B=B, **kwargs)
+    if name in ("latent_distance", "distance"):
+        return LatentDistanceConfig(N=N, B=B, **kwargs)
+    raise ValueError(f"unknown network prior: {name}")

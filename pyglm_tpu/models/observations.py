@@ -1,0 +1,211 @@
+"""Observation families for PG-augmented GLMs.
+
+Capability parity with the reference's observation layer
+(``pypolyagamma/distributions.py``: ``BernoulliRegression``,
+``BinomialRegression``, ``NegativeBinomialRegression`` — each a (kappa, b)
+map into the shared PG machinery — and ``pyglm/regressions.py``'s
+``SparseGaussianRegression``), re-expressed functionally: a family is a
+stateless config object mapping data to the PG-augmented conditionally-
+Gaussian form
+
+    likelihood(psi) prop-to exp(kappa * psi - omega * psi^2 / 2),
+    omega ~ PG(b_pg(y), psi),
+
+plus per-neuron auxiliary-parameter updates (NB dispersion r via
+Chinese-restaurant-table augmentation; Gaussian noise variance eta via
+conjugate inverse-gamma).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from pyglm_tpu.ops.polyagamma import polya_gamma, pg_devroye
+from pyglm_tpu.ops.linalg import crt_sample, sample_inverse_gamma
+from pyglm_tpu.utils.utils import logistic, softplus
+
+
+@dataclass(frozen=True)
+class Bernoulli:
+    """y ~ Bern(logistic(psi)); kappa = y - 1/2, b_pg = 1 (exact Devroye).
+
+    Reference: pypolyagamma/distributions.py (BernoulliRegression),
+    pyglm/regressions.py (SparseBernoulliRegression).
+    """
+    name: str = "bernoulli"
+    needs_pg: bool = True
+
+    def init_aux(self, N: int):
+        return None
+
+    def omega_kappa(self, key, Y, psi, aux):
+        omega = pg_devroye(key, psi)
+        kappa = Y - 0.5
+        return omega, kappa
+
+    def log_likelihood(self, Y, psi, aux):
+        return Y * psi - softplus(psi)
+
+    def sample(self, key, psi, aux):
+        return jax.random.bernoulli(key, logistic(psi)).astype(jnp.float32)
+
+    def mean(self, psi, aux):
+        return logistic(psi)
+
+    def resample_aux(self, key, aux, Y, psi):
+        return aux
+
+
+@dataclass(frozen=True)
+class Binomial:
+    """y ~ Binom(n_trials, logistic(psi)); kappa = y - n/2, b_pg = n."""
+    n_trials: int = 1
+    name: str = "binomial"
+    needs_pg: bool = True
+
+    def init_aux(self, N: int):
+        return None
+
+    def omega_kappa(self, key, Y, psi, aux):
+        b = jnp.full_like(psi, float(self.n_trials))
+        omega = polya_gamma(key, b, psi)
+        kappa = Y - 0.5 * self.n_trials
+        return omega, kappa
+
+    def log_likelihood(self, Y, psi, aux):
+        n = float(self.n_trials)
+        logC = gammaln(n + 1.0) - gammaln(Y + 1.0) - gammaln(n - Y + 1.0)
+        return logC + Y * psi - n * softplus(psi)
+
+    def sample(self, key, psi, aux):
+        return jax.random.binomial(
+            key, float(self.n_trials), logistic(psi)).astype(jnp.float32)
+
+    def mean(self, psi, aux):
+        return self.n_trials * logistic(psi)
+
+    def resample_aux(self, key, aux, Y, psi):
+        return aux
+
+
+@dataclass(frozen=True)
+class NegativeBinomial:
+    """y ~ NB(r, p = logistic(psi)): mean r p/(1-p); kappa=(y-r)/2, b_pg=y+r.
+
+    Dispersion r (per neuron) is resampled by the Zhou–Carin CRT + Gamma
+    conjugate augmentation. `max_y` must bound the observed counts (static).
+    Reference: pypolyagamma/distributions.py (NegativeBinomialRegression).
+    """
+    r_init: float = 4.0
+    a_r: float = 2.0          # Gamma(a_r, b_r) prior on r
+    b_r: float = 0.5
+    max_y: int = 256
+    resample_r: bool = True
+    name: str = "negative_binomial"
+    needs_pg: bool = True
+
+    def init_aux(self, N: int):
+        return {"r": jnp.full((N,), self.r_init, jnp.float32)}
+
+    def omega_kappa(self, key, Y, psi, aux):
+        r = aux["r"][None, :]
+        b = Y + r
+        omega = polya_gamma(key, b, psi)
+        kappa = 0.5 * (Y - r)
+        return omega, kappa
+
+    def log_likelihood(self, Y, psi, aux):
+        r = aux["r"][None, :]
+        logC = gammaln(Y + r) - gammaln(r) - gammaln(Y + 1.0)
+        return logC + Y * psi - (Y + r) * softplus(psi)
+
+    def sample(self, key, psi, aux):
+        k1, k2 = jax.random.split(key)
+        r = aux["r"][None, :]
+        # Gamma-Poisson mixture: lam ~ Gamma(r) * p/(1-p) = Gamma(r) * e^psi.
+        lam = jax.random.gamma(k1, jnp.broadcast_to(r, psi.shape)) * jnp.exp(psi)
+        # Saturate to avoid int32 overflow if the autoregressive dynamics
+        # run away (exp link + positive feedback is explosive for any
+        # sufficiently positive weights — true of the reference model too).
+        lam = jnp.minimum(lam, 1e6)
+        return jax.random.poisson(k2, lam).astype(jnp.float32)
+
+    def mean(self, psi, aux):
+        return aux["r"][None, :] * jnp.exp(psi)
+
+    def resample_aux(self, key, aux, Y, psi):
+        if not self.resample_r:
+            return aux
+        k1, k2 = jax.random.split(key)
+        r = aux["r"]
+        l = crt_sample(k1, Y.astype(jnp.int32), r[None, :], self.max_y)
+        shape = self.a_r + jnp.sum(l, axis=0).astype(jnp.float32)
+        rate = self.b_r + jnp.sum(softplus(psi), axis=0)
+        r_new = jax.random.gamma(k2, shape) / rate
+        return {"r": jnp.maximum(r_new, 1e-3)}
+
+
+@dataclass(frozen=True)
+class Gaussian:
+    """y ~ N(psi, eta_n): identity link, conjugate noise variance.
+
+    No PG augmentation — the auxiliary weights are deterministic
+    omega = 1/eta_n, kappa = y/eta_n, which yields the exact Gaussian
+    conditional for the weights. eta resampled by inverse-gamma conjugacy.
+    Reference: pyglm/regressions.py (SparseGaussianRegression).
+    """
+    eta_init: float = 1.0
+    a_eta: float = 2.0        # InvGamma(a_eta, b_eta) prior on eta
+    b_eta: float = 1.0
+    resample_eta: bool = True
+    name: str = "gaussian"
+    needs_pg: bool = False
+
+    def init_aux(self, N: int):
+        return {"eta": jnp.full((N,), self.eta_init, jnp.float32)}
+
+    def omega_kappa(self, key, Y, psi, aux):
+        inv_eta = 1.0 / aux["eta"][None, :]
+        omega = jnp.broadcast_to(inv_eta, Y.shape)
+        kappa = Y * inv_eta
+        return omega, kappa
+
+    def log_likelihood(self, Y, psi, aux):
+        eta = aux["eta"][None, :]
+        return -0.5 * jnp.log(2.0 * jnp.pi * eta) - 0.5 * (Y - psi) ** 2 / eta
+
+    def sample(self, key, psi, aux):
+        eta = aux["eta"][None, :]
+        return psi + jnp.sqrt(eta) * jax.random.normal(key, psi.shape)
+
+    def mean(self, psi, aux):
+        return psi
+
+    def resample_aux(self, key, aux, Y, psi):
+        if not self.resample_eta:
+            return aux
+        T = Y.shape[0]
+        alpha = self.a_eta + 0.5 * T
+        beta = self.b_eta + 0.5 * jnp.sum((Y - psi) ** 2, axis=0)
+        eta = sample_inverse_gamma(key, alpha, beta)
+        return {"eta": jnp.maximum(eta, 1e-6)}
+
+
+ObservationFamily = Any  # duck-typed: Bernoulli | Binomial | NegativeBinomial | Gaussian
+
+
+def make_observation(name: str, **kwargs) -> ObservationFamily:
+    name = name.lower()
+    if name == "bernoulli":
+        return Bernoulli(**kwargs)
+    if name == "binomial":
+        return Binomial(**kwargs)
+    if name in ("negative_binomial", "nb", "negbin"):
+        return NegativeBinomial(**kwargs)
+    if name == "gaussian":
+        return Gaussian(**kwargs)
+    raise ValueError(f"unknown observation family: {name}")

@@ -1,0 +1,139 @@
+"""The jit-compiled Gibbs sweep and autoregressive generation.
+
+Reference analog: ``pyglm/models.py`` (``resample_model`` — the per-neuron
+Python loop over regressions followed by the network resample; ``generate``
+— the per-bin Python loop). Here one sweep is a single pure function
+``state, data, key -> state`` compiled once by XLA, and generation is a
+``lax.scan`` over time carrying an L-bin ring buffer.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pyglm_tpu.models.weights import (
+    pack_weights, unpack_weights, sufficient_stats,
+    resample_spike_slab, resample_dense,
+)
+
+
+class GLMData(NamedTuple):
+    Y: jax.Array    # (T, N) observations
+    Xf: jax.Array   # (T, P) flattened design (P = N*B+1, last col = ones)
+
+
+class GLMState(NamedTuple):
+    A: jax.Array    # (N, N) adjacency, A[pre, post] in {0, 1}
+    W: jax.Array    # (N, N, B) weights (0 where A == 0)
+    b: jax.Array    # (N,) biases
+    aux: object     # observation-family aux params ({'r': ...}, {'eta': ...})
+    net: object     # network-prior state
+
+
+def make_gibbs_sweep(obs, network, N: int, B: int, spike_slab: bool,
+                     t_chunk: int = 512, precision: str = "highest"):
+    """Build the jittable one-sweep kernel for a model configuration.
+
+    Gibbs move order (matches reference resample_model: weights/adjacency
+    given aux, then observation aux, then network hyperparameters):
+      1. psi = Xf @ w;  omega ~ PG(b(y), psi), kappa = kappa(y)
+      2. sufficient stats J = X'OmegaX, h = X'kappa  (summed over datasets)
+      3. (A, W, bias) — collapsed spike-and-slab or dense conjugate draw
+      4. observation aux (NB dispersion r / Gaussian noise eta)
+      5. network hyperparameters given (A, W)
+    Returns (new_state, diagnostics).
+    """
+
+    def sweep(key, state: GLMState, datas: tuple):
+        k_pg, k_w, k_aux, k_net = jax.random.split(key, 4)
+        w_full = pack_weights(state.A, state.W, state.b)
+
+        P = N * B + 1
+        J_tot = jnp.zeros((N, P, P), jnp.float32)
+        h_tot = jnp.zeros((P, N), jnp.float32)
+        for i, d in enumerate(datas):
+            psi = d.Xf @ w_full
+            omega, kappa = obs.omega_kappa(
+                jax.random.fold_in(k_pg, i), d.Y, psi, state.aux)
+            J, h = sufficient_stats(d.Xf, omega, kappa,
+                                    t_chunk=t_chunk, precision=precision)
+            J_tot = J_tot + J
+            h_tot = h_tot + h
+
+        hyp = network.edge_hypers(state.net)
+        if spike_slab:
+            A, w_full = resample_spike_slab(k_w, J_tot, h_tot, w_full, hyp, B)
+        else:
+            w_full = resample_dense(k_w, J_tot, h_tot, hyp, B)
+            A = jnp.ones((N, N), jnp.float32)
+        W, b = unpack_weights(w_full, N, B)
+
+        psi_new = [d.Xf @ w_full for d in datas]
+        Y_cat = jnp.concatenate([d.Y for d in datas], axis=0)
+        psi_cat = jnp.concatenate(psi_new, axis=0)
+        aux = obs.resample_aux(k_aux, state.aux, Y_cat, psi_cat)
+        net = network.resample(k_net, state.net, A, W)
+
+        ll = jnp.sum(obs.log_likelihood(Y_cat, psi_cat, aux))
+        diag = {"log_likelihood": ll, "n_edges": jnp.sum(A)}
+        return GLMState(A, W, b, aux, net), diag
+
+    return sweep
+
+
+def make_log_likelihood(obs, N: int, B: int):
+    def log_likelihood(state: GLMState, data: GLMData):
+        w_full = pack_weights(state.A, state.W, state.b)
+        psi = data.Xf @ w_full
+        return jnp.sum(obs.log_likelihood(data.Y, psi, state.aux))
+    return log_likelihood
+
+
+def make_generator(obs, N: int, B: int):
+    """Autoregressive forward simulation via lax.scan with an L-bin ring
+    buffer (reference: pyglm/models.py generate — per-bin Python loop)."""
+
+    def generate(key, state: GLMState, basis, T: int):
+        L = basis.shape[0]
+        basis_rev = jnp.asarray(basis, jnp.float32)[::-1]       # (L, B)
+        Weff = state.A[:, :, None] * state.W                    # (N, N, B)
+
+        def step(ring, k_t):
+            # X[t, j, b] = sum_i ring[i, j] * basis_rev[i, b]
+            F = jnp.einsum("ij,ib->jb", ring, basis_rev)
+            psi = state.b + jnp.einsum("jb,jnb->n", F, Weff)
+            y = obs.sample(k_t, psi[None, :], state.aux)[0]
+            ring = jnp.concatenate([ring[1:], y[None, :]], axis=0)
+            return ring, (y, psi)
+
+        keys = jax.random.split(key, T)
+        ring0 = jnp.zeros((L, N), jnp.float32)
+        _, (Y, psi) = lax.scan(step, ring0, keys)
+        return Y, psi
+
+    return generate
+
+
+def init_state_from_prior(key, obs, network, N: int, B: int,
+                          spike_slab: bool) -> GLMState:
+    """Draw (A, W, b, aux, net) from the model prior — used both to
+    initialize Gibbs chains and to build ground-truth generative models."""
+    k_net, k_a, k_w, k_b = jax.random.split(key, 4)
+    net = network.init_state(k_net)
+    hyp = network.edge_hypers(net)
+    if spike_slab:
+        from pyglm_tpu.utils.utils import logistic
+        A = jax.random.bernoulli(k_a, logistic(hyp.logit_rho)).astype(jnp.float32)
+    else:
+        A = jnp.ones((N, N), jnp.float32)
+    # W_ij ~ N(mu_ij, Lam_ij^{-1}) batched over all N^2 edges.
+    C = jnp.linalg.cholesky(jnp.linalg.inv(hyp.Lam))
+    eps = jax.random.normal(k_w, (N, N, B))
+    W = hyp.mu + jnp.einsum("ijbc,ijc->ijb", C, eps)
+    W = W * A[:, :, None]
+    b = hyp.mu_b + jax.random.normal(k_b, (N,)) / jnp.sqrt(hyp.lam_b)
+    aux = obs.init_aux(N)
+    return GLMState(A, W, b, aux, net)

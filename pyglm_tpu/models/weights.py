@@ -1,0 +1,206 @@
+"""Sufficient statistics + conditionally-Gaussian weight updates.
+
+The reference forms per-neuron sufficient statistics X' Omega X with NumPy
+loops (pyglm/regressions.py: _lkhd_sufficient_statistics, _resample_A_W).
+Here the stats for *all* neurons are one chunked batched MXU matmul, and the
+per-neuron updates are batched under vmap:
+
+- dense weights: batched P-dim information-form Gaussian draws;
+- spike-and-slab: collapsed Gibbs over incoming edges. The per-edge scan is
+  inherently sequential (each a_j conditions on the others), but all N
+  postsynaptic neurons run in parallel (vmap) and the scan consumes the
+  precomputed Gram matrix via rank-B residual updates instead of reforming
+  X' Omega X per edge like the reference.
+
+Weight layout: P = N*B + 1 design columns, presyn-major
+(column j*B + b = presyn neuron j, basis b; last column = bias).
+w_full[:, n] stacks A[j,n] * W[j,n,:] for all j, then b[n].
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pyglm_tpu.ops.linalg import (
+    gaussian_evidence, sample_from_evidence, sample_mvn_info,
+)
+from pyglm_tpu.utils.utils import logistic
+
+_PRECISIONS = {
+    "default": lax.Precision.DEFAULT,
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}
+
+
+class EdgeHypers(NamedTuple):
+    """Per-edge prior parameters handed from the network layer to the weight
+    layer — the functional analog of the reference's network->regression
+    hyperparameter injection (pyglm/networks.py -> regressions resample)."""
+    mu: jax.Array          # (N, N, B)   prior mean of W[pre, post]
+    Lam: jax.Array         # (N, N, B, B) prior precision
+    logit_rho: jax.Array   # (N, N)      prior log-odds of A[pre, post]
+    mu_b: jax.Array        # (N,)        bias prior mean
+    lam_b: jax.Array       # (N,)        bias prior precision
+
+
+def pack_weights(A, W, b):
+    """(A, W, b) -> w_full (P, N) in the design-column layout."""
+    N, _, B = W.shape
+    # (N_pre, N_post, B) -> (N_pre*B, N_post): presyn-major rows.
+    w = (A[:, :, None] * W).transpose(0, 2, 1).reshape(N * B, N)
+    return jnp.concatenate([w, b[None, :]], axis=0)
+
+
+def unpack_weights(w_full, N: int, B: int):
+    """w_full (P, N) -> (W_eff (N,N,B), b (N,)) (W_eff already masked by A)."""
+    W = w_full[: N * B].reshape(N, B, N).transpose(0, 2, 1)
+    b = w_full[N * B]
+    return W, b
+
+
+@partial(jax.jit, static_argnames=("t_chunk", "precision"))
+def sufficient_stats(Xf, omega, kappa, t_chunk: int = 512,
+                     precision: str = "highest"):
+    """J[n] = Xf' diag(omega[:, n]) Xf and h[:, n] = Xf' kappa[:, n].
+
+    The dominant FLOPs of a sweep: O(N * T * P^2), executed as a lax.scan
+    over time chunks of batched (P x tc)(tc x P) MXU matmuls with f32
+    accumulation (each chunk sums <= t_chunk terms, so f32 is safe at
+    T = 100k; SURVEY.md §7 hard-part #2).
+
+    Returns J (N, P, P), h (P, N).
+    """
+    prec = _PRECISIONS[precision]
+    T, P = Xf.shape
+    N = omega.shape[1]
+    n_chunks = -(-T // t_chunk)
+    pad = n_chunks * t_chunk - T
+    Xp = jnp.pad(Xf, ((0, pad), (0, 0)))
+    Op = jnp.pad(omega, ((0, pad), (0, 0)))
+    Xc = Xp.reshape(n_chunks, t_chunk, P)
+    Oc = Op.reshape(n_chunks, t_chunk, N)
+
+    def body(J, xs):
+        xc, oc = xs
+        xw = xc[:, None, :] * oc[:, :, None]            # (tc, N, P)
+        Jc = jnp.einsum("tnp,tq->npq", xw, xc,
+                        preferred_element_type=jnp.float32, precision=prec)
+        return J + Jc, None
+
+    J0 = jnp.zeros((N, P, P), jnp.float32)
+    J, _ = lax.scan(body, J0, (Xc, Oc))
+    Kp = jnp.pad(kappa, ((0, pad), (0, 0)))
+    h = jnp.einsum("tp,tn->pn", Xp, Kp,
+                   preferred_element_type=jnp.float32, precision=prec)
+    return J, h
+
+
+def _resample_bias(key, J, h, w, r_vec, mu_b, lam_b):
+    """Conditional 1-D Gaussian draw for the always-active bias column."""
+    m = h[-1] - (r_vec[-1] - J[-1, -1] * w[-1]) + lam_b * mu_b
+    lamp = lam_b + J[-1, -1]
+    bnew = m / lamp + jax.random.normal(key, ()) / jnp.sqrt(lamp)
+    r_vec = r_vec + J[:, -1] * (bnew - w[-1])
+    w = w.at[-1].set(bnew)
+    return w, r_vec
+
+
+def _spike_slab_one_neuron(key, J, h, w_init, mu0, Lam0, logit_rho,
+                           mu_b, lam_b, B: int):
+    """Collapsed spike-and-slab Gibbs over the N incoming edges of one neuron.
+
+    For each presyn block j (sequential — inherent to collapsed Gibbs,
+    SURVEY.md §7 hard-part #3): residualize the linear term against all other
+    current weights using the running r_vec = J @ w, compute the collapsed
+    Bernoulli odds for a_j, then draw w_j | a_j.
+
+    Math (reference: pyglm/regressions.py _resample_A_W):
+        m_j  = h_j - (J @ w)_j + J_jj w_j
+        logodds = logit(rho_j) + 1/2 mu_p' Lp mu_p - 1/2 mu0' L0 mu0
+                  + 1/2 log|L0| - 1/2 log|Lp|,   Lp = L0 + J_jj
+    """
+    N = logit_rho.shape[0]
+    P = h.shape[0]
+    C0 = jnp.linalg.cholesky(Lam0)                       # (N, B, B)
+    ld0_half = jnp.sum(jnp.log(jnp.diagonal(C0, axis1=-2, axis2=-1)), axis=-1)
+    r_vec = J @ w_init
+    keys = jax.random.split(key, N + 1)
+
+    def body(carry, xs):
+        w, r_vec = carry
+        j, kj, mu0j, Lam0j, ld0j, lrho = xs
+        k1, k2 = jax.random.split(kj)
+        sl = j * B
+        Jjj = lax.dynamic_slice(J, (sl, sl), (B, B))
+        Jcol = lax.dynamic_slice(J, (0, sl), (P, B))
+        hj = lax.dynamic_slice(h, (sl,), (B,))
+        rj = lax.dynamic_slice(r_vec, (sl,), (B,))
+        wj = lax.dynamic_slice(w, (sl,), (B,))
+        mj = hj - (rj - Jjj @ wj)
+        ev = gaussian_evidence(mj, Jjj, mu0j, Lam0j, chol0_logdet=ld0j)
+        log_odds = lrho + ev.log_evidence
+        a = jax.random.bernoulli(k1, logistic(log_odds))
+        wnew = jnp.where(a, sample_from_evidence(k2, ev), jnp.zeros((B,)))
+        r_vec = r_vec + Jcol @ (wnew - wj)
+        w = lax.dynamic_update_slice(w, wnew, (sl,))
+        return (w, r_vec), a.astype(jnp.float32)
+
+    xs = (jnp.arange(N), keys[:N], mu0, Lam0, ld0_half, logit_rho)
+    (w, r_vec), a = lax.scan(body, (w_init, r_vec), xs)
+    w, r_vec = _resample_bias(keys[N], J, h, w, r_vec, mu_b, lam_b)
+    return a, w
+
+
+@partial(jax.jit, static_argnames=("B",))
+def resample_spike_slab(key, J, h, w_full, hyp: EdgeHypers, B: int):
+    """Batched spike-and-slab update for all N neurons (vmap over postsyn).
+
+    Args:
+      J: (N, P, P); h: (P, N); w_full: (P, N) current packed weights.
+    Returns:
+      A (N_pre, N_post), w_full (P, N).
+    """
+    N = h.shape[1]
+    keys = jax.random.split(key, N)
+    # Per-postsyn-neuron views: mu[:, n], Lam[:, n], logit_rho[:, n].
+    a, w = jax.vmap(
+        _spike_slab_one_neuron,
+        in_axes=(0, 0, 1, 1, 1, 1, 1, 0, 0, None),
+    )(keys, J, h, w_full, hyp.mu, hyp.Lam, hyp.logit_rho,
+      hyp.mu_b, hyp.lam_b, B)
+    return a.T, w.T         # a: (post, pre) -> (pre, post); w -> (P, N)
+
+
+def _block_diag_precision(Lam0, lam_b, P: int, B: int):
+    """Scatter (N, B, B) per-edge prior precisions + bias into (P, P)."""
+    N = Lam0.shape[0]
+    idx = jnp.arange(N * B).reshape(N, B)
+    full = jnp.zeros((P, P), Lam0.dtype)
+    full = full.at[idx[:, :, None], idx[:, None, :]].set(Lam0)
+    full = full.at[P - 1, P - 1].set(lam_b)
+    return full
+
+
+def _dense_one_neuron(key, J, h, mu0, Lam0, mu_b, lam_b, B: int):
+    """Full P-dim conjugate Gaussian draw (dense adjacency, A == 1)."""
+    P = h.shape[0]
+    prior_prec = _block_diag_precision(Lam0, lam_b, P, B)
+    h0 = jnp.einsum("jbc,jc->jb", Lam0, mu0).reshape(-1)
+    h0 = jnp.concatenate([h0, (lam_b * mu_b)[None]])
+    return sample_mvn_info(key, h + h0, prior_prec + J)
+
+
+@partial(jax.jit, static_argnames=("B",))
+def resample_dense(key, J, h, hyp: EdgeHypers, B: int):
+    """Batched dense weight update: w[:, n] ~ N(.., (Lam0 + J_n)^{-1})."""
+    N = h.shape[1]
+    keys = jax.random.split(key, N)
+    w = jax.vmap(
+        _dense_one_neuron, in_axes=(0, 0, 1, 1, 1, 0, 0, None),
+    )(keys, J, h, hyp.mu, hyp.Lam, hyp.mu_b, hyp.lam_b, B)
+    return w.T              # (P, N)

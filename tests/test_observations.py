@@ -1,0 +1,103 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy import stats as sps
+
+from pyglm_tpu.models.observations import (
+    Bernoulli, Binomial, NegativeBinomial, Gaussian, make_observation,
+)
+
+
+def test_bernoulli_loglik_matches_scipy():
+    fam = Bernoulli()
+    Y = jnp.asarray([[0.0, 1.0], [1.0, 0.0]])
+    psi = jnp.asarray([[0.3, -1.2], [2.0, 0.0]])
+    ll = np.asarray(fam.log_likelihood(Y, psi, None))
+    p = 1 / (1 + np.exp(-np.asarray(psi)))
+    ll_ref = sps.bernoulli.logpmf(np.asarray(Y).astype(int), p)
+    np.testing.assert_allclose(ll, ll_ref, rtol=1e-5)
+
+
+def test_binomial_loglik_and_sample():
+    fam = Binomial(n_trials=7)
+    Y = jnp.asarray([[3.0, 0.0], [7.0, 5.0]])
+    psi = jnp.asarray([[0.5, -0.5], [1.0, 0.1]])
+    ll = np.asarray(fam.log_likelihood(Y, psi, None))
+    p = 1 / (1 + np.exp(-np.asarray(psi)))
+    ll_ref = sps.binom.logpmf(np.asarray(Y).astype(int), 7, p)
+    np.testing.assert_allclose(ll, ll_ref, rtol=1e-4)
+    samples = np.asarray(fam.sample(jax.random.key(0),
+                                    jnp.full((20000, 1), 0.4), None))
+    np.testing.assert_allclose(samples.mean(), 7 / (1 + np.exp(-0.4)), rtol=0.02)
+
+
+def test_negative_binomial_loglik_and_sample():
+    fam = NegativeBinomial(r_init=3.5, max_y=64)
+    aux = fam.init_aux(2)
+    Y = jnp.asarray([[0.0, 2.0], [5.0, 1.0]])
+    psi = jnp.asarray([[-1.0, 0.2], [0.5, -0.3]])
+    ll = np.asarray(fam.log_likelihood(Y, psi, aux))
+    p = 1 / (1 + np.exp(-np.asarray(psi)))
+    # scipy NB: pmf(k; n, q) with success prob q = 1-p in our parametrization
+    ll_ref = sps.nbinom.logpmf(np.asarray(Y).astype(int), 3.5, 1 - p)
+    np.testing.assert_allclose(ll, ll_ref, rtol=1e-4)
+    samples = np.asarray(fam.sample(jax.random.key(1),
+                                    jnp.full((20000, 2), -0.5), aux))
+    np.testing.assert_allclose(samples.mean(), 3.5 * np.exp(-0.5), rtol=0.05)
+
+
+def test_nb_pg_b_and_kappa():
+    fam = NegativeBinomial(r_init=2.0, max_y=16)
+    aux = fam.init_aux(2)
+    Y = jnp.asarray([[0.0, 3.0]])
+    psi = jnp.zeros((1, 2))
+    omega, kappa = fam.omega_kappa(jax.random.key(0), Y, psi, aux)
+    np.testing.assert_allclose(np.asarray(kappa), [[-1.0, 0.5]])
+    assert np.all(np.asarray(omega) > 0)
+
+
+def test_nb_r_resample_concentrates():
+    """With lots of data at psi=0, resampled r should be near mean counts."""
+    fam = NegativeBinomial(r_init=4.0, max_y=128)
+    aux = fam.init_aux(1)
+    key = jax.random.key(2)
+    psi = jnp.zeros((20000, 1))
+    Y = fam.sample(key, psi, {"r": jnp.asarray([6.0])})
+    rs = []
+    for i in range(20):
+        aux = fam.resample_aux(jax.random.fold_in(key, i), aux, Y, psi)
+        rs.append(float(aux["r"][0]))
+    assert abs(np.mean(rs[5:]) - 6.0) < 1.0, rs
+
+
+def test_gaussian_loglik_and_eta_resample():
+    fam = Gaussian(eta_init=1.0)
+    aux = {"eta": jnp.asarray([0.5, 2.0])}
+    Y = jnp.asarray([[0.1, -0.3]])
+    psi = jnp.asarray([[0.0, 0.5]])
+    ll = np.asarray(fam.log_likelihood(Y, psi, aux))
+    ll_ref = sps.norm.logpdf(np.asarray(Y), np.asarray(psi),
+                             np.sqrt(np.array([0.5, 2.0])))
+    np.testing.assert_allclose(ll, ll_ref, rtol=1e-5)
+    # eta posterior concentrates on true residual variance
+    rng = np.random.RandomState(0)
+    Yb = jnp.asarray(rng.randn(50000, 2) * np.sqrt([0.7, 3.0]), jnp.float32)
+    psib = jnp.zeros((50000, 2))
+    new = fam.resample_aux(jax.random.key(3), aux, Yb, psib)
+    np.testing.assert_allclose(np.asarray(new["eta"]), [0.7, 3.0], rtol=0.05)
+
+
+def test_gaussian_omega_is_inverse_eta():
+    fam = Gaussian()
+    aux = {"eta": jnp.asarray([0.25])}
+    Y = jnp.asarray([[2.0], [4.0]])
+    omega, kappa = fam.omega_kappa(jax.random.key(0), Y, jnp.zeros_like(Y), aux)
+    np.testing.assert_allclose(np.asarray(omega), 4.0)
+    np.testing.assert_allclose(np.asarray(kappa), np.asarray(Y) * 4.0)
+
+
+def test_make_observation_dispatch():
+    assert make_observation("bernoulli").name == "bernoulli"
+    assert make_observation("nb").name == "negative_binomial"
+    assert make_observation("binomial", n_trials=3).n_trials == 3
+    assert make_observation("gaussian").name == "gaussian"
