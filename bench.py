@@ -1,0 +1,64 @@
+"""Headline benchmark: Gibbs sweeps/sec on the flagship config.
+
+Config (BASELINE.json metric): sparse Bernoulli network GLM, Erdős–Rényi
+spike-and-slab, N=200 neurons, T=100k bins, B=4 basis filters — one full
+Gibbs sweep = PG draws for all 20M auxiliaries + X'OmegaX stats for all
+neurons + collapsed spike-and-slab over all 40k edges + network hypers.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline denominator: 0.002254 sweeps/s — the architecture-faithful
+NumPy/f64 re-implementation (pyglm_tpu/reference/numpy_ref.py) at N=200,
+measured at T=1000/3000 on this box's CPU and fitted linearly in T
+(sweep = 4.3 s + 4.39 s per 1k bins -> 444 s at T=100k). The true reference
+(slinderman/pyglm) is unbuildable here — its mount is empty (SURVEY.md
+provenance note); the stand-in mirrors its per-neuron loop architecture.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+CPU_BASELINE_SWEEPS_PER_SEC = 0.002254
+
+N, T, B, L = 200, 100_000, 4, 10
+N_WARMUP, N_TIMED = 2, 10
+
+
+def main():
+    import jax
+    import pyglm_tpu as pt
+
+    small = "--small" in sys.argv          # quick self-check mode
+    n, t = (20, 5_000) if small else (N, T)
+
+    true = pt.SparseBernoulliGLM(
+        n, B=B, L=L, seed=42,
+        net_kwargs=dict(rho_init=0.05, learn_rho=False, mu_bias=-2.5,
+                        sigma_bias=0.25, learn_weight_prior=False,
+                        sigma_w=1.0))
+    Y = true.generate(t, keep=False)
+
+    model = pt.SparseBernoulliGLM(n, B=B, L=L, seed=0)
+    model.add_data(Y)
+
+    for _ in range(N_WARMUP):
+        model.resample_model()     # diag floats force full execution
+    t0 = time.time()
+    for _ in range(N_TIMED):
+        d = model.resample_model()
+    dt = (time.time() - t0) / N_TIMED
+    assert np.isfinite(d["log_likelihood"])
+
+    value = 1.0 / dt
+    print(json.dumps({
+        "metric": f"gibbs_sweeps_per_sec_N{n}_T{t}_B{B}",
+        "value": round(value, 4),
+        "unit": "sweeps/s",
+        "vs_baseline": round(value / CPU_BASELINE_SWEEPS_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

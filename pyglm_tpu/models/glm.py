@@ -65,6 +65,9 @@ class NonlinearAutoregressiveModel:
                         if isinstance(network, str) else network)
 
         self._key = jax.random.key(seed)
+        self._t_chunk = t_chunk
+        self._precision = precision
+        self._mesh = None
         self.state: GLMState = init_state_from_prior(
             self._next_key(), self.observation, self.network,
             N, self.B, self.spike_and_slab)
@@ -158,6 +161,15 @@ class NonlinearAutoregressiveModel:
         return out
 
     # -- conveniences beyond the reference -----------------------------------
+
+    def shard(self, mesh=None):
+        """Distribute this model over a device mesh (SPMD Gibbs). With no
+        argument, auto-selects the largest compatible mesh."""
+        from pyglm_tpu.parallel.sharding import best_mesh_for, shard_model
+        if mesh is None:
+            mesh = best_mesh_for(
+                self.N, T=[int(d.Y.shape[0]) for d in self.datas])
+        return shard_model(self, mesh)
 
     def fit(self, n_samples: int = 100, n_burnin: int = 0, thin: int = 1,
             callback=None, verbose: bool = False):

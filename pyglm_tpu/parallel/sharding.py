@@ -1,0 +1,119 @@
+"""Multi-chip scaling via jax.sharding — the reference has no analog.
+
+The reference's only parallelism is OpenMP threads over PG draws inside one
+process (pypolyagamma.pyx pgdrawvpar). Here the Gibbs sweep is partitioned
+over a 2-D device mesh (SURVEY.md §2.4 / §7 step 8):
+
+- **neuron axis**: per-neuron conditionals are independent given the data,
+  so omega/kappa columns, the (N, P, P) sufficient-statistic stack, and the
+  vmapped weight updates shard embarrassingly over postsynaptic neurons.
+- **time axis**: X'OmegaX / X'kappa / log-lik are associative sums over t,
+  so time shards reduce partial stats with XLA-inserted collectives over
+  ICI (the SP analog — nothing here is quadratic in T).
+
+Everything goes through GSPMD: inputs carry NamedShardings and XLA chooses
+the collectives; no hand-written NCCL/MPI-style code (SURVEY.md §2.4).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pyglm_tpu.models.sweep import GLMData, GLMState
+
+
+def make_mesh(n_time: int = 1, n_neuron: int | None = None, devices=None) -> Mesh:
+    """Create a ('time', 'neuron') mesh. Defaults to all devices on the
+    neuron axis (the embarrassingly-parallel one)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_neuron is None:
+        n_neuron = len(devices) // n_time
+    assert n_time * n_neuron == len(devices), (
+        f"mesh {n_time}x{n_neuron} != {len(devices)} devices")
+    dev_array = np.asarray(devices).reshape(n_time, n_neuron)
+    return Mesh(dev_array, axis_names=("time", "neuron"))
+
+
+def glm_shardings(mesh: Mesh, state: GLMState, datas: tuple):
+    """NamedShardings for (key, state, datas) of the sweep signature.
+
+    Neuron-indexed arrays shard over 'neuron' (postsynaptic axis), time-major
+    arrays over 'time'; network hyperparameters are small and replicated.
+    """
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    rep = ns()
+    state_sh = GLMState(
+        A=ns(None, "neuron"),          # (pre, post): shard postsyn
+        W=ns(None, "neuron", None),
+        b=ns("neuron"),
+        aux=jax.tree.map(lambda _: ns("neuron"), state.aux),
+        net=jax.tree.map(lambda _: rep, state.net),
+    )
+    data_sh = tuple(
+        GLMData(Y=ns("time", "neuron"), Xf=ns("time", None))
+        for _ in datas)
+    return rep, state_sh, data_sh
+
+
+def make_sharded_sweep(sweep_fn, mesh: Mesh, state: GLMState, datas: tuple):
+    """jit the sweep with mesh shardings on inputs and outputs.
+
+    Returns (jitted_fn, placed_state, placed_datas).
+    """
+    key_sh, state_sh, data_sh = glm_shardings(mesh, state, datas)
+    diag_sh = {"log_likelihood": key_sh, "n_edges": key_sh}
+    fn = jax.jit(
+        sweep_fn,
+        in_shardings=(key_sh, state_sh, data_sh),
+        out_shardings=(state_sh, diag_sh),
+    )
+    placed_state = jax.device_put(state, state_sh)
+    placed_datas = jax.device_put(datas, data_sh)
+    return fn, placed_state, placed_datas
+
+
+def best_mesh_for(N: int, T=None, devices=None) -> Mesh:
+    """Pick a mesh compatible with model size: the largest divisor of N that
+    fits the device count goes on the neuron axis; remaining factor-of-2
+    devices go on the time axis when the dataset length(s) T allow."""
+    if devices is None:
+        devices = jax.devices()
+    n_dev = len(devices)
+    n_neuron = max(d for d in range(1, n_dev + 1) if N % d == 0)
+    Ts = [] if T is None else ([int(T)] if np.isscalar(T) else [int(t) for t in T])
+    n_time = 1
+    while (n_neuron * n_time * 2 <= n_dev
+           and all(t % (n_time * 2) == 0 for t in Ts)):
+        n_time *= 2
+    return make_mesh(n_time=n_time, n_neuron=n_neuron,
+                     devices=devices[: n_time * n_neuron])
+
+
+def shard_model(model, mesh: Mesh):
+    """Re-target a NonlinearAutoregressiveModel onto a device mesh in place.
+
+    After this, every resample_model() runs the SPMD sweep with the model's
+    state and design tensors laid out across `mesh`.
+    """
+    from pyglm_tpu.models.sweep import make_gibbs_sweep
+    n_neuron = mesh.shape["neuron"]
+    if model.N % n_neuron != 0:
+        raise ValueError(
+            f"model N={model.N} is not divisible by the mesh neuron axis "
+            f"({n_neuron}); use make_mesh(n_neuron=d) with d | N, or "
+            f"best_mesh_for(N) to auto-select")
+    sweep_fn = make_gibbs_sweep(
+        model.observation, model.network, model.N, model.B,
+        model.spike_and_slab,
+        t_chunk=model._t_chunk, precision=model._precision)
+    datas = tuple(model.datas)
+    fn, state, datas = make_sharded_sweep(sweep_fn, mesh, model.state, datas)
+    model._sweep = fn
+    model.state = state
+    model.datas = list(datas)
+    model._mesh = mesh
+    return model

@@ -1,0 +1,90 @@
+"""SPMD sharding tests on the simulated 8-device CPU mesh (SURVEY.md §4:
+'multi-node without a real cluster' -> forced host platform device count)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import pyglm_tpu as pt
+from pyglm_tpu.parallel.sharding import make_mesh, make_sharded_sweep
+from pyglm_tpu.models.sweep import make_gibbs_sweep
+
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (simulated) devices")
+
+
+@requires_8
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape == {"time": 1, "neuron": 8}
+    mesh2 = make_mesh(n_time=2)
+    assert mesh2.shape == {"time": 2, "neuron": 4}
+    mesh4 = make_mesh(n_time=4, n_neuron=2)
+    assert mesh4.shape == {"time": 4, "neuron": 2}
+
+
+@requires_8
+@pytest.mark.parametrize("n_time,n_neuron", [(1, 8), (2, 4), (8, 1)])
+def test_sharded_sweep_runs(n_time, n_neuron):
+    model = pt.SparseBernoulliGLM(16, B=2, L=4, seed=0)
+    model.generate(256, keep=True)
+    mesh = make_mesh(n_time=n_time, n_neuron=n_neuron)
+    model.shard(mesh)
+    for _ in range(3):
+        d = model.resample_model()
+    assert np.isfinite(d["log_likelihood"])
+    assert model.A.shape == (16, 16)
+
+
+@requires_8
+def test_sharded_matches_single_device_stats():
+    """The deterministic parts (sufficient stats) must be identical whether
+    computed on 1 device or sharded over 8 (bit-consistency up to f32
+    reduction order)."""
+    from pyglm_tpu.models.weights import sufficient_stats
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rng = np.random.RandomState(0)
+    T, N, B = 512, 16, 2
+    Pdim = N * B + 1
+    Xf = jnp.asarray(rng.rand(T, Pdim), jnp.float32)
+    omega = jnp.asarray(rng.rand(T, N) + 0.1, jnp.float32)
+    kappa = jnp.asarray(rng.randn(T, N), jnp.float32)
+
+    J1, h1 = sufficient_stats(Xf, omega, kappa, t_chunk=128)
+
+    mesh = make_mesh(n_time=2, n_neuron=4)
+    sh = lambda *s: NamedSharding(mesh, P(*s))
+    Xs = jax.device_put(Xf, sh("time", None))
+    Os = jax.device_put(omega, sh("time", "neuron"))
+    Ks = jax.device_put(kappa, sh("time", "neuron"))
+    J8, h8 = sufficient_stats(Xs, Os, Ks, t_chunk=128)
+    np.testing.assert_allclose(np.asarray(J1), np.asarray(J8), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h8), rtol=2e-5, atol=2e-5)
+
+
+@requires_8
+def test_sharded_chain_statistically_consistent():
+    """A sharded chain must mix to the same posterior as the single-device
+    chain (same data, different RNG partitioning): compare posterior mean
+    log-lik after burn-in."""
+    N, T = 8, 1000
+    true = pt.SparseBernoulliGLM(
+        N, B=2, L=4, seed=3,
+        net_kwargs=dict(rho_init=0.3, learn_rho=False, sigma_w=2.0,
+                        mu_bias=-1.0, learn_weight_prior=False))
+    Y = true.generate(T, keep=False)
+
+    def run(shard):
+        m = pt.SparseBernoulliGLM(N, B=2, L=4, seed=11)
+        m.add_data(Y)
+        if shard:
+            m.shard(make_mesh(n_time=2, n_neuron=4))
+        lls = [m.resample_model()["log_likelihood"] for _ in range(40)]
+        return np.mean(lls[20:])
+
+    ll_single, ll_shard = run(False), run(True)
+    # Same stationary distribution: post-burn-in average log-liks agree
+    # within a loose MC tolerance.
+    assert abs(ll_single - ll_shard) / abs(ll_single) < 0.02, (
+        ll_single, ll_shard)
