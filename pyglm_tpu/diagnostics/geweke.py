@@ -1,0 +1,83 @@
+"""Geweke joint-distribution test for the Gibbs sweep.
+
+The successive-conditional simulator alternates
+    data   ~ p(Y | theta)        (forward generation)
+    theta  ~ Gibbs(theta | Y)    (one full sweep)
+whose stationary marginal over theta must equal the *prior* — any bug in any
+conditional update shows up as a drift away from the prior marginals. This is
+the ecosystem-canonical correctness test for Linderman-style Gibbs samplers
+(SURVEY.md §4: pyhawkes test/geweke*; the pre-rewrite pyglm had the same).
+
+TPU-native twist: the whole chain runs inside one ``lax.scan`` — generation,
+design convolution, and the sweep are a single compiled program, so a 2000-
+iteration Geweke chain takes seconds rather than the reference's minutes.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pyglm_tpu.ops.basis import design_matrix
+from pyglm_tpu.models.sweep import (
+    GLMData, make_gibbs_sweep, make_generator, init_state_from_prior,
+)
+
+
+def geweke_chain(key, obs, network, N: int, B: int, basis, T: int,
+                 spike_slab: bool, n_iters: int = 2000, t_chunk: int = 64):
+    """Run the successive-conditional simulator; returns per-iteration
+    parameter summaries (host numpy dict).
+
+    Collected series: bias (n, N), A_density (n,), W_active_sum / sq (n,),
+    plus network/obs-specific scalars when present (rho, r, eta).
+    """
+    sweep = make_gibbs_sweep(obs, network, N, B, spike_slab, t_chunk=t_chunk)
+    gen = make_generator(obs, N, B)
+    basis = jnp.asarray(basis, jnp.float32)
+
+    k_init, k_chain = jax.random.split(key)
+    state0 = init_state_from_prior(k_init, obs, network, N, B, spike_slab)
+
+    def step(state, k):
+        k1, k2 = jax.random.split(k)
+        Y, _ = gen(k1, state, basis, T)
+        data = GLMData(Y=Y, Xf=design_matrix(Y, basis))
+        state, _ = sweep(k2, state, (data,))
+        n_act = jnp.sum(state.A)
+        Wsum = jnp.sum(state.W)                    # inactive entries are 0
+        Wsq = jnp.sum(state.W ** 2)
+        out = {
+            "bias": state.b,
+            "A_density": n_act / state.A.size,
+            "n_active": n_act,
+            "W_sum": Wsum,
+            "W_sq": Wsq,
+        }
+        if hasattr(state.net, "rho"):
+            out["rho"] = state.net.rho
+        if isinstance(state.aux, dict):
+            for k_aux, v in state.aux.items():
+                out[k_aux] = v
+        return state, out
+
+    keys = jax.random.split(k_chain, n_iters)
+    _, series = jax.jit(lambda s, ks: lax.scan(step, s, ks))(state0, keys)
+    return {k: np.asarray(v) for k, v in series.items()}
+
+
+def geweke_ks(samples, prior_cdf_samples, n_thin: int = 10):
+    """Two-sample KS statistic between thinned chain samples and iid prior
+    draws. Returns (ks, threshold_at_1e-3) using the thinned count as the
+    effective sample size (conservative only if thinning clears the chain's
+    autocorrelation time)."""
+    s = np.sort(np.asarray(samples)[::n_thin].ravel())
+    p = np.sort(np.asarray(prior_cdf_samples).ravel())
+    grid = np.concatenate([s, p])
+    cdf_s = np.searchsorted(s, grid, side="right") / len(s)
+    cdf_p = np.searchsorted(p, grid, side="right") / len(p)
+    ks = np.max(np.abs(cdf_s - cdf_p))
+    n_eff = len(s) * len(p) / (len(s) + len(p))
+    thresh = 1.95 / np.sqrt(n_eff)   # alpha ~ 1e-3
+    return ks, thresh

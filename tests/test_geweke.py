@@ -1,0 +1,105 @@
+"""Geweke joint-distribution tests (SURVEY.md §4 level 3): the stationary
+marginals of the successive-conditional simulator must match the prior.
+These catch conditional-update bugs that moment tests cannot."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyglm_tpu.ops.basis import cosine_basis
+from pyglm_tpu.models.observations import Bernoulli, Gaussian
+from pyglm_tpu.models.networks import ErdosRenyiConfig, DenseNetworkConfig
+from pyglm_tpu.diagnostics.geweke import geweke_chain
+
+N, B, L, T = 3, 1, 3, 50
+N_ITERS = 3000
+THIN = 10
+
+
+def _z(mean_emp, mean_true, var_true, n_eff):
+    """z-score of an empirical mean against its sampling distribution."""
+    return abs(mean_emp - mean_true) / np.sqrt(var_true / n_eff)
+
+
+@pytest.fixture(scope="module")
+def bernoulli_er_chain():
+    basis = cosine_basis(B=B, L=L)
+    obs = Bernoulli()
+    net = ErdosRenyiConfig(
+        N=N, B=B, rho_init=0.4, learn_rho=False, learn_weight_prior=False,
+        sigma_w=0.5, mu_bias=-1.0, sigma_bias=0.3)
+    return geweke_chain(jax.random.key(0), obs, net, N, B, basis, T,
+                        spike_slab=True, n_iters=N_ITERS), net
+
+
+def test_geweke_bias_marginal(bernoulli_er_chain):
+    series, net = bernoulli_er_chain
+    b = series["bias"][::THIN]           # (n, N)
+    n_eff = b.shape[0] * N
+    z = _z(b.mean(), net.mu_bias, net.sigma_bias ** 2, n_eff)
+    assert z < 5.0, (b.mean(), z)
+    # variance within 20%
+    assert abs(b.var() / net.sigma_bias ** 2 - 1) < 0.25, b.var()
+
+
+def test_geweke_adjacency_marginal(bernoulli_er_chain):
+    series, net = bernoulli_er_chain
+    dens = series["A_density"][::THIN]
+    n_eff = dens.shape[0] * N * N
+    z = _z(dens.mean(), net.rho_init, net.rho_init * (1 - net.rho_init), n_eff)
+    assert z < 5.0, (dens.mean(), z)
+
+
+def test_geweke_weight_marginal(bernoulli_er_chain):
+    series, net = bernoulli_er_chain
+    # Active weights ~ N(0, sigma_w); E[W_sq] per iteration =
+    # n_active * sigma_w (B=1); inactive contribute 0.
+    wsq = series["W_sq"][::THIN]
+    nact = series["n_active"][::THIN]
+    ratio = wsq.sum() / (nact.sum() * net.sigma_w)
+    assert abs(ratio - 1) < 0.2, ratio
+    # mean of active weights ~ 0
+    wsum = series["W_sum"][::THIN]
+    est_mean = wsum.sum() / nact.sum()
+    se = np.sqrt(net.sigma_w / nact.sum())
+    assert abs(est_mean) < 6 * se, (est_mean, se)
+
+
+def test_geweke_learned_rho_marginal():
+    """With rho ~ Beta(a, b) learned, its stationary marginal must be the
+    Beta prior — exercises the network-resample conditional."""
+    basis = cosine_basis(B=B, L=L)
+    obs = Bernoulli()
+    a_rho, b_rho = 3.0, 5.0
+    net = ErdosRenyiConfig(
+        N=N, B=B, a_rho=a_rho, b_rho=b_rho, rho_init=0.4, learn_rho=True,
+        learn_weight_prior=False, sigma_w=0.5, mu_bias=-1.0, sigma_bias=0.3)
+    series = geweke_chain(jax.random.key(1), obs, net, N, B, basis, T,
+                          spike_slab=True, n_iters=N_ITERS)
+    rho = series["rho"][::THIN]
+    m_true = a_rho / (a_rho + b_rho)
+    v_true = a_rho * b_rho / ((a_rho + b_rho) ** 2 * (a_rho + b_rho + 1))
+    z = _z(rho.mean(), m_true, v_true, rho.shape[0])
+    assert z < 5.0, (rho.mean(), m_true, z)
+    assert abs(rho.var() / v_true - 1) < 0.35, (rho.var(), v_true)
+
+
+def test_geweke_gaussian_dense():
+    """Gaussian observations, dense weights: exercises the non-PG path and
+    the eta inverse-gamma conditional."""
+    basis = cosine_basis(B=B, L=L)
+    a_eta, b_eta = 6.0, 2.0
+    obs = Gaussian(a_eta=a_eta, b_eta=b_eta, eta_init=0.5)
+    net = DenseNetworkConfig(
+        N=N, B=B, learn_weight_prior=False, sigma_w=0.003,
+        mu_bias=0.0, sigma_bias=0.1)
+    series = geweke_chain(jax.random.key(2), obs, net, N, B, basis, T,
+                          spike_slab=False, n_iters=N_ITERS)
+    b = series["bias"][::THIN]
+    z = _z(b.mean(), 0.0, 0.1 ** 2, b.size)
+    assert z < 5.0, (b.mean(), z)
+    eta = series["eta"][::THIN]
+    m_true = b_eta / (a_eta - 1)                       # InvGamma mean
+    v_true = b_eta ** 2 / ((a_eta - 1) ** 2 * (a_eta - 2))
+    z = _z(eta.mean(), m_true, v_true, eta.size)
+    assert z < 5.0, (eta.mean(), m_true, z)
