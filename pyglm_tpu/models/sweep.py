@@ -16,7 +16,7 @@ from jax import lax
 
 from pyglm_tpu.models.weights import (
     pack_weights, unpack_weights, sufficient_stats,
-    resample_spike_slab, resample_dense,
+    resample_spike_slab_tspace, resample_dense,
 )
 
 
@@ -50,30 +50,38 @@ def make_gibbs_sweep(obs, network, N: int, B: int, spike_slab: bool,
     def sweep(key, state: GLMState, datas: tuple):
         k_pg, k_w, k_aux, k_net = jax.random.split(key, 4)
         w_full = pack_weights(state.A, state.W, state.b)
-
-        P = N * B + 1
-        J_tot = jnp.zeros((N, P, P), jnp.float32)
-        h_tot = jnp.zeros((P, N), jnp.float32)
-        for i, d in enumerate(datas):
-            psi = d.Xf @ w_full
-            omega, kappa = obs.omega_kappa(
-                jax.random.fold_in(k_pg, i), d.Y, psi, state.aux)
-            J, h = sufficient_stats(d.Xf, omega, kappa,
-                                    t_chunk=t_chunk, precision=precision)
-            J_tot = J_tot + J
-            h_tot = h_tot + h
-
         hyp = network.edge_hypers(state.net)
+        Y_cat = jnp.concatenate([d.Y for d in datas], axis=0)
+
         if spike_slab:
-            A, w_full = resample_spike_slab(k_w, J_tot, h_tot, w_full, hyp, B)
+            # Residual-space collapsed update: O(N^2 T B), no Gram stack.
+            # Datasets concatenate along time (designs never cross datasets).
+            Xf_cat = jnp.concatenate([d.Xf for d in datas], axis=0)
+            psi = jnp.dot(Xf_cat, w_full,
+                          preferred_element_type=jnp.float32)
+            omega, kappa = obs.omega_kappa(k_pg, Y_cat, psi, state.aux)
+            A, w_full, u, _ = resample_spike_slab_tspace(
+                k_w, Xf_cat, omega, kappa, w_full, hyp, B,
+                t_chunk=t_chunk, precision=precision)
+            # psi under the NEW weights, recovered without a big matmul.
+            psi_cat = (kappa - u) / omega
         else:
+            P = N * B + 1
+            J_tot = jnp.zeros((N, P, P), jnp.float32)
+            h_tot = jnp.zeros((P, N), jnp.float32)
+            for i, d in enumerate(datas):
+                psi = d.Xf @ w_full
+                omega, kappa = obs.omega_kappa(
+                    jax.random.fold_in(k_pg, i), d.Y, psi, state.aux)
+                J, h = sufficient_stats(d.Xf, omega, kappa,
+                                        t_chunk=t_chunk, precision=precision)
+                J_tot = J_tot + J
+                h_tot = h_tot + h
             w_full = resample_dense(k_w, J_tot, h_tot, hyp, B)
             A = jnp.ones((N, N), jnp.float32)
-        W, b = unpack_weights(w_full, N, B)
+            psi_cat = jnp.concatenate([d.Xf @ w_full for d in datas], axis=0)
 
-        psi_new = [d.Xf @ w_full for d in datas]
-        Y_cat = jnp.concatenate([d.Y for d in datas], axis=0)
-        psi_cat = jnp.concatenate(psi_new, axis=0)
+        W, b = unpack_weights(w_full, N, B)
         aux = obs.resample_aux(k_aux, state.aux, Y_cat, psi_cat)
         net = network.resample(k_net, state.net, A, W)
 
