@@ -28,6 +28,9 @@ N_WARMUP, N_TIMED = 2, 10
 
 def main():
     import jax
+    # Remote (axon) compiles are slow; persist them across runs.
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import pyglm_tpu as pt
 
     small = "--small" in sys.argv          # quick self-check mode

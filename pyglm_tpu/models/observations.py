@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
-from pyglm_tpu.ops.polyagamma import polya_gamma, pg_devroye
+from pyglm_tpu.ops.polyagamma import polya_gamma, pg_draw_unit
 from pyglm_tpu.ops.linalg import crt_sample, sample_inverse_gamma
 from pyglm_tpu.utils.utils import logistic, softplus
 
@@ -43,7 +43,7 @@ class Bernoulli:
         return None
 
     def omega_kappa(self, key, Y, psi, aux):
-        omega = pg_devroye(key, psi)
+        omega = pg_draw_unit(key, psi)
         kappa = Y - 0.5
         return omega, kappa
 

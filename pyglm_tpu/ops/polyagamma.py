@@ -41,7 +41,8 @@ _PI = 3.141592653589793
 _TRUNC = 0.64          # Devroye proposal truncation point t
 _MAX_OUTER = 64        # outer proposal rounds (acceptance >= 0.9992/round)
 _MAX_INNER = 64        # truncated-inverse-Gaussian rounds
-_N_SERIES = 10         # alternating-series terms (error ~ exp(-3.1 n^2))
+_N_SERIES = 4          # alternating-series terms: a_3/a_0 < 1e-17, i.e.
+                       # terms beyond n=3 are invisible at f32 precision
 
 
 # ---------------------------------------------------------------------------
@@ -171,8 +172,7 @@ def _series_accept(key, X, active):
     return accept & active
 
 
-@jax.jit
-def pg_devroye(key, c):
+def pg_devroye(key, c, init=None):
     """Exact PG(1, c) draws, elementwise over any-shaped `c`.
 
     TPU-native rebuild of ``PolyaGamma::draw`` (reference:
@@ -180,6 +180,10 @@ def pg_devroye(key, c):
     masked ``lax.while_loop`` over the full batch; acceptance per round is
     >= 0.9992 uniformly in c, so the loop converges in ~3 rounds even for
     tens of millions of elements.
+
+    init: optional (omega0, done0) — continue a partially-completed draw
+    (e.g. the Pallas fast pass in ops/pg_pallas.py): elements with done0
+    keep omega0, the rest are (re)drawn here.
     """
     c = jnp.asarray(c, jnp.float32)
     z = 0.5 * jnp.abs(c)
@@ -215,9 +219,13 @@ def pg_devroye(key, c):
         done = done | acc
         return i + 1, key, X, done
 
-    init = (jnp.zeros((), jnp.int32), key, fallback,
-            jnp.zeros(shape, bool))
-    _, _, X, _ = lax.while_loop(cond, body, init)
+    if init is None:
+        X_init, done_init = fallback, jnp.zeros(shape, bool)
+    else:
+        omega0, done_init = init
+        X_init = jnp.where(done_init, 4.0 * omega0, fallback)
+    state = (jnp.zeros((), jnp.int32), key, X_init, done_init)
+    _, _, X, _ = lax.while_loop(cond, body, state)
     return 0.25 * X
 
 
@@ -298,6 +306,28 @@ def pg_normal_approx(key, b, c):
     v = pg_var(b, c)
     x = m + jnp.sqrt(v) * jax.random.normal(key, jnp.shape(m))
     return jnp.maximum(x, 1e-30)
+
+
+def pg_draw_unit(key, c, backend: str = "auto"):
+    """PG(1, c) with automatic backend dispatch.
+
+    "auto": the fused Pallas fast-pass + exact continuation on a single TPU
+    chip; the pure-XLA masked-while sampler on CPU or under multi-device
+    GSPMD (a pallas_call inside a partitioned jit would not shard).
+    Override with PYGLM_PG_BACKEND=xla|pallas.
+    """
+    import os
+    env = os.environ.get("PYGLM_PG_BACKEND")
+    if env:
+        backend = env
+    if backend == "auto":
+        devs = jax.devices()
+        backend = ("pallas" if devs[0].platform == "tpu" and len(devs) == 1
+                   else "xla")
+    if backend == "pallas":
+        from pyglm_tpu.ops.pg_pallas import pg_devroye_pallas
+        return pg_devroye_pallas(key, c)
+    return pg_devroye(key, c)
 
 
 _NORMAL_CUTOFF = 64.0

@@ -1,0 +1,38 @@
+"""Pallas PG kernel tests — run only on real TPU (PYGLM_TEST_TPU=1);
+the kernel has no CPU lowering. The CPU suite covers the XLA sampler the
+kernel's continuation reuses."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("PYGLM_TEST_TPU"), reason="TPU-only kernel")
+
+
+@pytest.mark.parametrize("c", [0.0, 0.5, 1.5, 4.0, 12.0])
+def test_pallas_moments(c):
+    from pyglm_tpu.ops.pg_pallas import pg_devroye_pallas
+    from pyglm_tpu.ops.polyagamma import pg_mean, pg_var
+    cs = jnp.full((300_000,), c, jnp.float32)
+    s = np.asarray(pg_devroye_pallas(jax.random.key(int(c * 10) + 3), cs),
+                   np.float64)
+    m, v = float(pg_mean(1.0, c)), float(pg_var(1.0, c))
+    assert np.all(np.isfinite(s)) and np.all(s > 0)
+    z = abs(s.mean() - m) / np.sqrt(v / s.size)
+    assert z < 6.0, (s.mean(), m, z)
+
+
+def test_pallas_vs_xla_ks():
+    from pyglm_tpu.ops.pg_pallas import pg_devroye_pallas
+    from pyglm_tpu.ops.polyagamma import pg_devroye
+    n = 100_000
+    c = jnp.full((n,), 1.0, jnp.float32)
+    s1 = np.sort(np.asarray(pg_devroye_pallas(jax.random.key(0), c), np.float64))
+    s2 = np.sort(np.asarray(pg_devroye(jax.random.key(1), c), np.float64))
+    grid = np.concatenate([s1, s2])
+    ks = np.max(np.abs(np.searchsorted(s1, grid, side="right") / n
+                       - np.searchsorted(s2, grid, side="right") / n))
+    assert ks < 1.95 * np.sqrt(2.0 / n), ks
