@@ -22,7 +22,9 @@ re-designed TPU-first:
 __version__ = "0.1.0"
 
 from pyglm_tpu.ops.basis import cosine_basis, convolve_with_basis
-from pyglm_tpu.ops.polyagamma import polya_gamma, pg_devroye, pg_gamma_series, pg_mean, pg_var
+from pyglm_tpu.ops.polyagamma import (
+    polya_gamma, pg_devroye, pg_gamma_series, pg_draw_unit, pg_mean, pg_var,
+)
 from pyglm_tpu.models.glm import (  # noqa: E402
     NonlinearAutoregressiveModel,
     GLM,

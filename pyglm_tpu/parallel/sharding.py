@@ -83,12 +83,17 @@ def best_mesh_for(N: int, T=None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     n_dev = len(devices)
-    n_neuron = max(d for d in range(1, n_dev + 1) if N % d == 0)
     Ts = [] if T is None else ([int(T)] if np.isscalar(T) else [int(t) for t in T])
-    n_time = 1
-    while (n_neuron * n_time * 2 <= n_dev
-           and all(t % (n_time * 2) == 0 for t in Ts)):
-        n_time *= 2
+    best = (1, 1)   # (n_time, n_neuron)
+    nt = 1
+    while nt <= n_dev and all(t % nt == 0 for t in Ts):
+        for nn in range(1, n_dev // nt + 1):
+            if N % nn == 0:
+                # maximize devices used, then the neuron axis (cheaper comms)
+                if (nt * nn, nn) > (best[0] * best[1], best[1]):
+                    best = (nt, nn)
+        nt *= 2
+    n_time, n_neuron = best
     return make_mesh(n_time=n_time, n_neuron=n_neuron,
                      devices=devices[: n_time * n_neuron])
 

@@ -1,0 +1,66 @@
+"""Evaluation metrics for network-GLM inference.
+
+The paper-standard deliverables (SURVEY.md §3.4): held-out predictive
+log-likelihood averaged over posterior samples, and link-detection AUC of
+posterior edge marginals against a ground-truth adjacency.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def link_auc(edge_scores, A_true):
+    """AUC of edge scores (e.g. posterior mean of A) vs true adjacency."""
+    s = np.asarray(edge_scores, float).ravel()
+    t = np.asarray(A_true).ravel().astype(bool)
+    pos, neg = s[t], s[~t]
+    if len(pos) == 0 or len(neg) == 0:
+        return 1.0
+    # O(E log E) rank-based AUC.
+    order = np.argsort(np.concatenate([pos, neg]), kind="mergesort")
+    ranks = np.empty(len(s))
+    ranks[order] = np.arange(1, len(s) + 1)
+    # midranks for ties
+    vals = np.concatenate([pos, neg])
+    sorted_vals = vals[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and sorted_vals[j + 1] == sorted_vals[i]:
+            j += 1
+        if j > i:
+            ranks[order[i:j + 1]] = 0.5 * (i + j) + 1
+        i = j + 1
+    r_pos = ranks[: len(pos)]
+    return (r_pos.sum() - len(pos) * (len(pos) + 1) / 2) / (len(pos) * len(neg))
+
+
+def predictive_log_likelihood(model, Y_test, n_samples: int = 20,
+                              thin: int = 1):
+    """Posterior-averaged predictive log-likelihood of held-out spikes.
+
+    Continues the model's Gibbs chain for n_samples*thin sweeps, evaluating
+    log p(Y_test | theta_s) every `thin` sweeps, and returns
+    logmeanexp over samples (the paper's protocol) plus the per-sample
+    values. The chain state advances as a side effect (it is an MCMC run).
+    """
+    lls = []
+    for s in range(n_samples):
+        for _ in range(thin):
+            model.resample_model()
+        lls.append(model.log_likelihood(Y_test))
+    lls = np.asarray(lls)
+    m = lls.max()
+    return float(m + np.log(np.mean(np.exp(lls - m)))), lls
+
+
+def bits_per_spike(pll, Y_test, baseline_rate=None):
+    """Convert predictive log-lik (nats) to bits/spike vs a homogeneous
+    baseline — the paper's normalized metric."""
+    Y = np.asarray(Y_test)
+    n_spikes = Y.sum()
+    T, N = Y.shape
+    rate = Y.mean() if baseline_rate is None else baseline_rate
+    rate = min(max(rate, 1e-12), 1 - 1e-12)
+    ll_base = (Y.sum() * np.log(rate) + (T * N - Y.sum()) * np.log(1 - rate))
+    return float((pll - ll_base) / max(n_spikes, 1) / np.log(2))

@@ -1,0 +1,54 @@
+import os
+import numpy as np
+import pytest
+
+import pyglm_tpu as pt
+from pyglm_tpu.utils.checkpoint import save_state, load_state
+from pyglm_tpu.utils.metrics import link_auc, predictive_log_likelihood, bits_per_spike
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    m = pt.SparseBernoulliGLM(5, B=2, L=4, seed=0)
+    m.generate(300, keep=True)
+    for _ in range(3):
+        m.resample_model()
+    path = str(tmp_path / "state.npz")
+    save_state(path, m)
+    A0, W0, b0 = m.A.copy(), m.W.copy(), m.bias.copy()
+
+    # Continue the chain two ways: live vs save->load->resume. Identical
+    # config + restored key => identical trajectories.
+    m2 = pt.SparseBernoulliGLM(5, B=2, L=4, seed=99)
+    m2.add_data(np.asarray(m.datas[0].Y))
+    load_state(path, m2)
+    np.testing.assert_array_equal(m2.A, A0)
+    np.testing.assert_array_equal(m2.bias, b0)
+
+    d1 = m.resample_model()
+    d2 = m2.resample_model()
+    assert d1["log_likelihood"] == d2["log_likelihood"]
+    np.testing.assert_array_equal(m.A, m2.A)
+
+
+def test_link_auc():
+    A = np.zeros((4, 4)); A[0, 1] = A[2, 3] = 1
+    scores = A * 0.9 + 0.05
+    assert link_auc(scores, A) == 1.0
+    assert abs(link_auc(np.random.RandomState(0).rand(50, 50),
+                        np.random.RandomState(1).rand(50, 50) < 0.3) - 0.5) < 0.05
+
+
+def test_predictive_ll_and_bits_per_spike():
+    true = pt.SparseBernoulliGLM(4, B=2, L=4, seed=1,
+                                 net_kwargs=dict(rho_init=0.4, sigma_w=1.5,
+                                                 mu_bias=-1.5))
+    Y = true.generate(2000, keep=False)
+    Y_train, Y_test = Y[:1500], Y[1500:]
+    m = pt.SparseBernoulliGLM(4, B=2, L=4, seed=2)
+    m.add_data(Y_train)
+    for _ in range(20):
+        m.resample_model()
+    pll, lls = predictive_log_likelihood(m, Y_test, n_samples=5, thin=2)
+    assert np.isfinite(pll) and len(lls) == 5
+    bps = bits_per_spike(pll, Y_test)
+    assert np.isfinite(bps)
