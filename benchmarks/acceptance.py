@@ -1,0 +1,151 @@
+"""Acceptance harness: the five BASELINE.json configs, end-to-end.
+
+For each config: build a ground-truth model, simulate spikes, fit a fresh
+model by Gibbs, and report recovery quality (link AUC, weight correlation,
+held-out predictive LL vs the generating model) plus sweeps/sec. Writes one
+JSON report. Reference-posterior parity is blocked on the empty reference
+mount (SURVEY.md); ground-truth recovery is the operative parity check.
+
+Run: python benchmarks/acceptance.py [--quick] [--out report.json]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _metrics(model, true, Y_test, n_avg=30):
+    import pyglm_tpu  # noqa
+    from pyglm_tpu.utils.metrics import link_auc
+    A_acc = np.zeros_like(true.A)
+    W_acc = np.zeros_like(true.W_effective)
+    for _ in range(n_avg):
+        model.resample_model()
+        A_acc += model.A / n_avg
+        W_acc += model.W_effective / n_avg
+    out = {}
+    if true.A.min() < 1:     # sparse truth -> AUC meaningful
+        out["link_auc"] = float(link_auc(A_acc, true.A))
+    mask = true.A.astype(bool)
+    if mask.sum() > 2:
+        out["weight_corr"] = float(np.corrcoef(
+            W_acc[mask], true.W_effective[mask])[0, 1])
+    out["pred_ll_model"] = float(model.log_likelihood(Y_test))
+    out["pred_ll_truth"] = float(true.log_likelihood(Y_test))
+    out["pred_ll_gap_per_bin"] = float(
+        (out["pred_ll_truth"] - out["pred_ll_model"]) / Y_test.size)
+    return out
+
+
+def run_config(name, true, model, T_train, T_test, n_burn, n_avg):
+    Y = true.generate(T_train + T_test, keep=False)
+    Y_train, Y_test = Y[:T_train], Y[T_train:]
+    model.add_data(Y_train)
+    model.resample_model()                      # compile
+    t0 = time.time()
+    for _ in range(n_burn):
+        model.resample_model()
+    sweep_time = (time.time() - t0) / n_burn
+    res = {"config": name, "N": true.N, "T": T_train,
+           "rate": float(Y_train.mean()),
+           "sweeps_per_sec": round(1.0 / sweep_time, 3)}
+    res.update(_metrics(model, true, Y_test, n_avg))
+    print(json.dumps(res))
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small T / few sweeps (CI smoke)")
+    ap.add_argument("--out", default="acceptance_report.json")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import pyglm_tpu as pt
+
+    q = args.quick
+    n_burn, n_avg = (10, 5) if q else (100, 30)
+    results = []
+
+    # 1. Bernoulli GLM, dense weights, ER-style shared weight prior.
+    N, T = 27, (5_000 if q else 60_000)
+    true = pt.BernoulliGLM(N, B=4, L=10, seed=1, net_kwargs=dict(
+        sigma_w=0.05, mu_bias=-2.5, learn_weight_prior=False))
+    model = pt.BernoulliGLM(N, B=4, L=10, seed=0)
+    results.append(run_config("1_bernoulli_dense", true, model,
+                              T, T // 10, n_burn, n_avg))
+
+    # 2. Negative-binomial observations with PG augmentation.
+    N, T = 50, (4_000 if q else 20_000)
+    true = pt.SparseNegativeBinomialGLM(
+        N, B=4, L=10, seed=2,
+        obs_kwargs=dict(r_init=5.0, resample_r=False, max_y=256),
+        net_kwargs=dict(rho_init=0.1, learn_rho=False))
+    model = pt.SparseNegativeBinomialGLM(
+        N, B=4, L=10, seed=0, obs_kwargs=dict(max_y=256))
+    results.append(run_config("2_negative_binomial", true, model,
+                              T, T // 10, n_burn, n_avg))
+
+    # 3. Spike-and-slab joint (A, W) Gibbs.
+    N, T = 100, (5_000 if q else 40_000)
+    true = pt.SparseBernoulliGLM(N, B=4, L=10, seed=3, net_kwargs=dict(
+        rho_init=0.08, learn_rho=False, mu_bias=-2.5, sigma_bias=0.2,
+        learn_weight_prior=False, sigma_w=1.5))
+    model = pt.SparseBernoulliGLM(N, B=4, L=10, seed=0)
+    results.append(run_config("3_spike_slab", true, model,
+                              T, T // 10, n_burn, n_avg))
+
+    # 4. SBM network prior with block resampling.
+    N, K, T = 100, 5, (5_000 if q else 40_000)
+    true = pt.NonlinearAutoregressiveModel(
+        N, B=4, L=10, observation="bernoulli", network="sbm",
+        spike_and_slab=True, seed=4,
+        net_kwargs=dict(K=K, rho_init=0.1, mu_bias=-2.5))
+    model = pt.NonlinearAutoregressiveModel(
+        N, B=4, L=10, observation="bernoulli", network="sbm",
+        spike_and_slab=True, seed=0, net_kwargs=dict(K=K))
+    results.append(run_config("4_sbm", true, model,
+                              T, T // 10, n_burn, n_avg))
+
+    # 5. Latent-distance prior; sharded over all available devices.
+    N, T = 500, (4_000 if q else 20_000)
+    true = pt.NonlinearAutoregressiveModel(
+        N, B=4, L=10, observation="bernoulli", network="latent_distance",
+        spike_and_slab=True, seed=5,
+        net_kwargs=dict(dim=2, mu_bias=-3.0))
+    model = pt.NonlinearAutoregressiveModel(
+        N, B=4, L=10, observation="bernoulli", network="latent_distance",
+        spike_and_slab=True, seed=0, net_kwargs=dict(dim=2))
+    if len(jax.devices()) > 1:
+        Y = true.generate(T + T // 10, keep=False)
+        model.add_data(Y[:T])
+        model.shard()
+        model.datas = list(model.datas)
+        res5 = {"config": "5_latent_distance_sharded",
+                "mesh": dict(model._mesh.shape)}
+        t0 = time.time()
+        for _ in range(n_burn):
+            model.resample_model()
+        res5["sweeps_per_sec"] = round(n_burn / (time.time() - t0), 3)
+        res5.update(_metrics(model, true, Y[T:], n_avg))
+        print(json.dumps(res5))
+        results.append(res5)
+    else:
+        results.append(run_config("5_latent_distance_single_chip", true,
+                                  model, T, T // 10, n_burn, n_avg))
+
+    with open(args.out, "w") as f:
+        json.dump({"quick": q, "results": results}, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
