@@ -75,6 +75,76 @@ class Gaussian(GibbsSampling):
         return self.mu + eps @ C.T
 
 
+class DiagonalRegression(GibbsSampling):
+    """Linear regression with *diagonal* Gaussian noise: per-output-dim
+    conjugate Gaussian weights + inverse-gamma variances (reference:
+    pybasicbayes.distributions.DiagonalRegression)."""
+
+    def __init__(self, D_out: int, D_in: int, affine: bool = True,
+                 mu_w=0.0, sigmasq_w=1.0, alpha_0: float = 2.0,
+                 beta_0: float = 1.0, seed: int = 0):
+        self.D_out, self.D_in, self.affine = D_out, D_in, affine
+        P = D_in + (1 if affine else 0)
+        self.mu_w = np.full((D_out, P), mu_w, np.float32)
+        self.lam_w = np.full((D_out, P), 1.0 / sigmasq_w, np.float32)
+        self.alpha_0, self.beta_0 = float(alpha_0), float(beta_0)
+        self._key = jax.random.key(seed)
+        k = self._next_key()
+        self.A = np.array(self.mu_w + np.asarray(
+            jax.random.normal(k, (D_out, P))) / np.sqrt(self.lam_w))
+        self.sigmasq = np.full(D_out, beta_0 / max(alpha_0 - 1, 0.5),
+                               np.float32)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _pad(self, X):
+        X = np.atleast_2d(np.asarray(X, np.float32))
+        if self.affine:
+            X = np.concatenate([X, np.ones((X.shape[0], 1), np.float32)], 1)
+        return X
+
+    def resample(self, data):
+        from pyglm_tpu.ops.linalg import sample_mvn_info, sample_inverse_gamma
+        X, Y = data
+        Xp = jnp.asarray(self._pad(X))
+        Y = jnp.asarray(np.atleast_2d(np.asarray(Y, np.float32)))
+        Tn = Xp.shape[0]
+        k1, k2 = jax.random.split(self._next_key())
+
+        def one(kd, y, mu0, lam0, s2):
+            J = (Xp.T @ Xp) / s2 + jnp.diag(lam0)
+            h = Xp.T @ y / s2 + lam0 * mu0
+            return sample_mvn_info(kd, h, J)
+
+        keys = jax.random.split(k1, self.D_out)
+        A = jax.vmap(one, in_axes=(0, 1, 0, 0, 0))(
+            keys, Y, jnp.asarray(self.mu_w), jnp.asarray(self.lam_w),
+            jnp.asarray(self.sigmasq))
+        resid = Y - Xp @ A.T
+        alpha = self.alpha_0 + 0.5 * Tn
+        beta = self.beta_0 + 0.5 * jnp.sum(resid ** 2, axis=0)
+        s2 = sample_inverse_gamma(k2, alpha, beta)
+        self.A = np.array(A)
+        self.sigmasq = np.array(jnp.maximum(s2, 1e-8))
+        return self
+
+    def log_likelihood(self, data):
+        X, Y = data
+        Xp = self._pad(X)
+        Y = np.atleast_2d(np.asarray(Y, np.float32))
+        resid = Y - Xp @ self.A.T
+        return np.sum(-0.5 * np.log(2 * np.pi * self.sigmasq)
+                      - 0.5 * resid ** 2 / self.sigmasq, axis=1)
+
+    def rvs(self, X):
+        Xp = self._pad(X)
+        mean = Xp @ self.A.T
+        eps = np.asarray(jax.random.normal(self._next_key(), mean.shape))
+        return mean + eps * np.sqrt(self.sigmasq)
+
+
 class Regression(GibbsSampling):
     """Bayesian linear regression y = A [x; 1] + eps, eps ~ N(0, Sigma),
     with matrix-normal-inverse-Wishart conjugacy (reference:

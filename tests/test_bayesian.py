@@ -72,3 +72,24 @@ def test_abstractions_contract():
     m = pt.SparseBernoulliGLM(3, B=2, L=3)
     for name in ("add_data", "generate", "resample_model", "log_likelihood"):
         assert callable(getattr(m, name))
+
+
+def test_diagonal_regression():
+    from pyglm_tpu.models.bayesian import DiagonalRegression
+    rng = np.random.RandomState(3)
+    X = rng.randn(2000, 3)
+    A_true = np.array([[1.0, -0.5, 2.0], [0.0, 1.0, -1.0]])
+    Y = X @ A_true.T + [0.5, -0.5] + rng.randn(2000, 2) * [0.3, 1.0]
+    reg = DiagonalRegression(D_out=2, D_in=3, seed=0)
+    As, s2s = [], []
+    for _ in range(40):
+        reg.resample((X, Y))
+        As.append(reg.A.copy())
+        s2s.append(reg.sigmasq.copy())
+    A_hat = np.mean(As[10:], 0)
+    np.testing.assert_allclose(A_hat[:, :3], A_true, atol=0.1)
+    np.testing.assert_allclose(A_hat[:, 3], [0.5, -0.5], atol=0.1)
+    np.testing.assert_allclose(np.mean(s2s[10:], 0), [0.09, 1.0], rtol=0.3)
+    ll = reg.log_likelihood((X[:4], Y[:4]))
+    assert ll.shape == (4,) and np.all(np.isfinite(ll))
+    assert reg.rvs(X[:5]).shape == (5, 2)
