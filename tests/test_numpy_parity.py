@@ -1,0 +1,65 @@
+"""End-to-end posterior parity: the TPU-native Gibbs sampler vs the
+independent NumPy/f64 reference implementation on the SAME data and priors.
+
+This is the operative substitute for reference-pyglm posterior parity
+(mount empty — SURVEY.md): two independently-written samplers targeting the
+same posterior must agree on posterior functionals within MC tolerance.
+"""
+import numpy as np
+import pytest
+
+import pyglm_tpu as pt
+from pyglm_tpu.reference.numpy_ref import NumpyGLMReference
+from pyglm_tpu.ops.basis import cosine_basis
+
+
+@pytest.mark.slow
+def test_posterior_means_match_numpy_reference():
+    N, B, L, T = 5, 2, 4, 1500
+    rho, sigma_w, mu_b, sigma_b = 0.35, 0.8, -1.2, 0.4
+    basis = cosine_basis(B=B, L=L)
+
+    # Common synthetic dataset from a planted model.
+    gen = pt.SparseBernoulliGLM(
+        N, basis=basis, seed=123,
+        net_kwargs=dict(rho_init=rho, learn_rho=False, mu_bias=mu_b,
+                        sigma_bias=sigma_b, learn_weight_prior=False,
+                        sigma_w=sigma_w))
+    Y = gen.generate(T, keep=False).astype(np.float64)
+
+    n_burn, n_keep = 150, 400
+
+    # --- TPU-native chain ---------------------------------------------
+    model = pt.SparseBernoulliGLM(
+        N, basis=basis, seed=0,
+        net_kwargs=dict(rho_init=rho, learn_rho=False, mu_bias=mu_b,
+                        sigma_bias=sigma_b, learn_weight_prior=False,
+                        sigma_w=sigma_w))
+    model.add_data(Y)
+    A1 = np.zeros((N, N)); W1 = np.zeros((N, N)); b1 = np.zeros(N)
+    for it in range(n_burn + n_keep):
+        model.resample_model()
+        if it >= n_burn:
+            A1 += model.A / n_keep
+            W1 += model.W_effective / n_keep
+            b1 += model.bias / n_keep
+
+    # --- NumPy reference chain ----------------------------------------
+    ref = NumpyGLMReference(N=N, B=B, basis=basis, rho=rho, mu_w=0.0,
+                            sigma_w=sigma_w, mu_b=mu_b, sigma_b=sigma_b,
+                            seed=7)
+    Xf = ref.design(Y)
+    A2 = np.zeros((N, N)); W2 = np.zeros((N, N)); b2 = np.zeros(N)
+    for it in range(n_burn + n_keep):
+        ref.resample(Y, Xf)
+        if it >= n_burn:
+            A2 += ref.A / n_keep
+            W2 += (ref.A[:, :, None] * ref.W).sum(-1) / n_keep
+            b2 += ref.b / n_keep
+
+    # Posterior functionals agree within MC tolerance.
+    assert np.max(np.abs(b1 - b2)) < 0.25, (b1, b2)
+    assert np.max(np.abs(A1 - A2)) < 0.22, np.max(np.abs(A1 - A2))
+    assert np.max(np.abs(W1 - W2)) < 0.35, np.max(np.abs(W1 - W2))
+    # Aggregate edge-probability calibration.
+    assert abs(A1.mean() - A2.mean()) < 0.06
