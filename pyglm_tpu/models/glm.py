@@ -47,7 +47,7 @@ class NonlinearAutoregressiveModel:
     def __init__(self, N: int, B: int = 4, L: int = 10, basis=None,
                  observation="bernoulli", network="dense",
                  spike_and_slab: bool = False, seed: int = 0,
-                 t_chunk: int = 512, precision: str = "highest",
+                 t_chunk: int = 512, precision: str = "high",
                  obs_kwargs: Optional[dict] = None,
                  net_kwargs: Optional[dict] = None):
         if basis is None:

@@ -62,7 +62,7 @@ def make_gibbs_sweep(obs, network, N: int, B: int, spike_slab: bool,
             omega, kappa = obs.omega_kappa(k_pg, Y_cat, psi, state.aux)
             A, w_full, u, _ = resample_spike_slab_tspace(
                 k_w, Xf_cat, omega, kappa, w_full, hyp, B,
-                t_chunk=t_chunk, precision=precision)
+                t_chunk=t_chunk, precision=precision, psi=psi)
             # psi under the NEW weights, recovered without a big matmul.
             psi_cat = (kappa - u) / omega
         else:

@@ -265,16 +265,18 @@ def group_gram_blocks(Xf, omega, B: int, G: int, t_chunk: int = 512,
     return acc.reshape(Ng, GB, GB, N).transpose(0, 3, 1, 2)
 
 
-def _auto_group(N_pre: int, max_g: int = 16) -> int:
-    """Largest divisor of N_pre that is <= max_g."""
-    return max(g for g in range(1, min(max_g, N_pre) + 1) if N_pre % g == 0)
+def _auto_group(N_pre: int, target: int = 5) -> int:
+    """Divisor of N_pre nearest to `target` (empirical sweet spot between
+    group-Gram FLOPs ~ G and residual HBM traffic ~ 1/G; see BASELINE.md)."""
+    divs = [g for g in range(1, min(16, N_pre) + 1) if N_pre % g == 0]
+    return min(divs, key=lambda g: (abs(g - target), -g))
 
 
 @partial(jax.jit, static_argnames=("B", "t_chunk", "precision", "group"))
 def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
                                hyp: EdgeHypers, B: int, t_chunk: int = 512,
                                precision: str = "highest",
-                               group: int | None = None):
+                               group: int | None = None, psi=None):
     """Collapsed spike-and-slab for all neurons in residual (T-) space.
 
     Instead of materializing the full (N, P, P) Gram stack (O(N^3 T B^2)
@@ -307,8 +309,9 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
     C0 = jnp.linalg.cholesky(hyp.Lam)                 # (Npre, N, B, B)
     ld0_half = jnp.sum(jnp.log(jnp.diagonal(C0, axis1=-2, axis2=-1)), axis=-1)
 
-    psi = jnp.dot(Xf, w_full, preferred_element_type=jnp.float32,
-                  precision=prec)
+    if psi is None:
+        psi = jnp.dot(Xf, w_full, preferred_element_type=jnp.float32,
+                      precision=prec)
     u0 = kappa - omega * psi
     keys = jax.random.split(key, Ng + 1)
 
