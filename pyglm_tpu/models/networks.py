@@ -322,6 +322,8 @@ class LatentDistanceConfig:
     gamma_init: float = 0.0
     hmc_eps: float = 0.01
     hmc_steps: int = 20
+    hmc_iters: int = 5          # HMC trajectories per Gibbs sweep (cheap:
+                                # each costs O(N^2) vs the sweep's O(N^2 T B))
     mu_bias: float = -2.0
     sigma_bias: float = 1.0
     learn_weight_prior: bool = True
@@ -355,7 +357,7 @@ class LatentDistanceConfig:
         return EdgeHypers(mu, Lam, lrho, mu_b, lam_b)
 
     def resample(self, key, state: LatentDistanceState, A, W):
-        k_hmc, k_mom, k_acc, k_niw = jax.random.split(key, 4)
+        k_hmc, k_niw = jax.random.split(key)
 
         def potential(params):
             L, gamma = params
@@ -366,11 +368,11 @@ class LatentDistanceConfig:
                   - 0.5 * gamma ** 2 / self.sigma_gamma ** 2)
             return -(ll + lp)
 
-        params = (state.L, state.gamma)
-        mom = (jax.random.normal(k_mom, state.L.shape),
-               jax.random.normal(jax.random.fold_in(k_mom, 1), ()))
         grad_fn = jax.grad(potential)
         eps = self.hmc_eps
+
+        def kinetic(m):
+            return 0.5 * sum(jnp.sum(x ** 2) for x in jax.tree.leaves(m))
 
         def leapfrog(carry, _):
             p, m = carry
@@ -381,17 +383,23 @@ class LatentDistanceConfig:
             m = jax.tree.map(lambda mi, gi: mi - 0.5 * eps * gi, m, g)
             return (p, m), None
 
-        (params_new, mom_new), _ = lax.scan(
-            leapfrog, (params, mom), None, length=self.hmc_steps)
+        def one_trajectory(params, k):
+            k_m1, k_m2, k_a = jax.random.split(k, 3)
+            mom = (jax.random.normal(k_m1, state.L.shape),
+                   jax.random.normal(k_m2, ()))
+            (params_new, mom_new), _ = lax.scan(
+                leapfrog, (params, mom), None, length=self.hmc_steps)
+            log_alpha = (potential(params) + kinetic(mom)
+                         - potential(params_new) - kinetic(mom_new))
+            accept = jnp.log(jax.random.uniform(k_a, ())) < log_alpha
+            return jax.tree.map(
+                lambda new, old: jnp.where(accept, new, old),
+                params_new, params), None
 
-        def kinetic(m):
-            return 0.5 * sum(jnp.sum(x ** 2) for x in jax.tree.leaves(m))
-
-        log_alpha = (potential(params) + kinetic(mom)
-                     - potential(params_new) - kinetic(mom_new))
-        accept = jnp.log(jax.random.uniform(k_acc, ())) < log_alpha
-        L = jnp.where(accept, params_new[0], state.L)
-        gamma = jnp.where(accept, params_new[1], state.gamma)
+        params, _ = lax.scan(
+            one_trajectory, (state.L, state.gamma),
+            jax.random.split(jax.random.fold_in(k_hmc, 0), self.hmc_iters))
+        L, gamma = params
 
         mu, Sigma = state.mu, state.Sigma
         if self.learn_weight_prior:
