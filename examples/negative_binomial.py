@@ -10,10 +10,14 @@ import numpy as np
 import pyglm_tpu as pt
 
 N = 50
+# NB's exp-mean link has positive feedback; weight scale must shrink with N
+# for the autoregressive dynamics to stay stable (same property as the
+# reference model).
 true = pt.SparseNegativeBinomialGLM(
     N, B=4, L=10, seed=7,
     obs_kwargs=dict(r_init=5.0, resample_r=False, max_y=128),
-    net_kwargs=dict(rho_init=0.1, learn_rho=False))
+    net_kwargs=dict(rho_init=0.05, learn_rho=False, sigma_w=0.001,
+                    mu_bias=-2.5))
 Y = true.generate(20_000, keep=False)
 print(f"counts: mean={Y.mean():.2f}, max={Y.max():.0f}")
 

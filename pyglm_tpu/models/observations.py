@@ -114,7 +114,8 @@ class NegativeBinomial:
     def omega_kappa(self, key, Y, psi, aux):
         r = aux["r"][None, :]
         b = Y + r
-        omega = polya_gamma(key, b, psi)
+        # b = y + r is generically non-integer: skip the b==1 Devroye overlay
+        omega = polya_gamma(key, b, psi, method="real")
         kappa = 0.5 * (Y - r)
         return omega, kappa
 

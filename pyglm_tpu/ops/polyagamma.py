@@ -340,6 +340,9 @@ def polya_gamma(key, b, c, method: str = "auto", K: int = 32):
     method:
       "auto"    — gamma-series for b < 64, normal approx above, exact
                   Devroye where b == 1; zeros where b == 0 (masked data).
+      "real"    — like auto but without the b == 1 Devroye overlay; use for
+                  families whose b is generically non-integer (e.g. NB's
+                  b = y + r), where computing the overlay is pure waste.
       "devroye" — exact PG(1, c) (b must be all ones).
       "gamma"   — gamma-series for all elements.
       "normal"  — normal approximation for all elements.
@@ -363,5 +366,6 @@ def polya_gamma(key, b, c, method: str = "auto", K: int = 32):
         pg_normal_approx(k1, b, c),
         pg_gamma_series(k2, jnp.minimum(b, _NORMAL_CUTOFF), c, K=K),
     )
-    out = jnp.where(b == 1.0, pg_devroye(k3, c), out)
+    if method == "auto":
+        out = jnp.where(b == 1.0, pg_devroye(k3, c), out)
     return jnp.where(b > 0, out, 0.0)

@@ -146,3 +146,49 @@ def test_geweke_latent_distance():
     g = np.asarray(gammas)[::THIN]
     z_g = _z(g.mean(), 0.0, 1.0, g.size)
     assert z_g < 6.0, (g.mean(), z_g)
+
+
+def test_geweke_negative_binomial():
+    """NB observations: exercises the gamma-series PG sampler (b = y + r
+    spans regimes) and the CRT-based r conditional. The learned-r marginal
+    must match its Gamma(a_r, b_r) prior."""
+    from pyglm_tpu.models.observations import NegativeBinomial
+    basis = cosine_basis(B=B, L=L)
+    net = ErdosRenyiConfig(N=N, B=B, rho_init=0.4, learn_rho=False,
+                           learn_weight_prior=False, sigma_w=0.01,
+                           mu_bias=-1.5, sigma_bias=0.2)
+    a_r, b_r = 4.0, 2.0
+    obs = NegativeBinomial(r_init=3.0, resample_r=True, a_r=a_r, b_r=b_r,
+                           max_y=128)
+    series = geweke_chain(jax.random.key(5), obs, net, N, B, basis, T,
+                          spike_slab=True, n_iters=N_ITERS)
+    b = series["bias"][::THIN]
+    z = _z(b.mean(), -1.5, 0.2 ** 2, b.size)
+    assert z < 5.0, (b.mean(), z)
+    r = series["r"][::THIN]
+    m_true, v_true = a_r / b_r, a_r / b_r ** 2
+    z = _z(r.mean(), m_true, v_true, r.size)
+    assert z < 5.0, (r.mean(), z)
+    assert abs(r.var() / v_true - 1) < 0.35, r.var()
+
+
+def test_geweke_sbm():
+    """SBM prior: the block connection-probability marginals must match
+    their Beta(a, b) prior — exercises label Gibbs + block conjugates."""
+    from pyglm_tpu.models.networks import SBMConfig
+    basis = cosine_basis(B=B, L=L)
+    obs = Bernoulli()
+    a_rho, b_rho = 2.0, 3.0
+    net = SBMConfig(N=N, B=B, K=2, a_rho=a_rho, b_rho=b_rho,
+                    alpha_pi=1.0, sigma_w=0.5, niw_kappa0=1.0,
+                    mu_bias=-1.0, sigma_bias=0.3)
+    series = geweke_chain(jax.random.key(6), obs, net, N, B, basis, T,
+                          spike_slab=True, n_iters=N_ITERS)
+    rho = series["rho"][::THIN]            # (n, K, K)
+    m_true = a_rho / (a_rho + b_rho)
+    v_true = a_rho * b_rho / ((a_rho + b_rho) ** 2 * (a_rho + b_rho + 1))
+    z = _z(rho.mean(), m_true, v_true, rho.shape[0] * 4)
+    assert z < 5.0, (rho.mean(), m_true, z)
+    b = series["bias"][::THIN]
+    z = _z(b.mean(), -1.0, 0.3 ** 2, b.size)
+    assert z < 5.0, (b.mean(), z)
