@@ -110,6 +110,31 @@ class NonlinearAutoregressiveModel:
             self.add_data(Y)
         return Y
 
+    def forecast(self, T_ahead: int, n_samples: int = 1, thin: int = 1,
+                 data_index: int = -1):
+        """Posterior-predictive simulation continuing from observed history.
+
+        Seeds the autoregressive generator with the last L bins of the
+        chosen dataset, drawing `n_samples` futures; between samples the
+        Gibbs chain advances `thin` sweeps so futures integrate over
+        parameter uncertainty (the serving-path analog of the reference's
+        demo-only generate()). Returns (n_samples, T_ahead, N).
+        """
+        assert self.datas, "no observed history; call add_data() first"
+        ring0 = self.datas[data_index].Y[-self.L:]
+        if ring0.shape[0] < self.L:
+            ring0 = jnp.concatenate(
+                [jnp.zeros((self.L - ring0.shape[0], self.N)), ring0], axis=0)
+        out = []
+        for _ in range(n_samples):
+            if thin > 0:
+                for _ in range(thin):
+                    self.resample_model()
+            Y, _ = self._generate(self._next_key(), self.state, self.basis,
+                                  T=T_ahead, ring0=ring0)
+            out.append(np.asarray(Y))
+        return np.stack(out)
+
     def resample_model(self):
         """One full Gibbs sweep over weights, adjacency, aux, and network."""
         assert self.datas, "call add_data() or generate(keep=True) first"

@@ -102,9 +102,12 @@ def make_log_likelihood(obs, N: int, B: int):
 
 def make_generator(obs, N: int, B: int):
     """Autoregressive forward simulation via lax.scan with an L-bin ring
-    buffer (reference: pyglm/models.py generate — per-bin Python loop)."""
+    buffer (reference: pyglm/models.py generate — per-bin Python loop).
 
-    def generate(key, state: GLMState, basis, T: int):
+    `ring0` (the last L bins of observed history) makes this a posterior-
+    predictive forecaster; zeros = generation from silence."""
+
+    def generate(key, state: GLMState, basis, T: int, ring0=None):
         L = basis.shape[0]
         basis_rev = jnp.asarray(basis, jnp.float32)[::-1]       # (L, B)
         Weff = state.A[:, :, None] * state.W                    # (N, N, B)
@@ -118,7 +121,8 @@ def make_generator(obs, N: int, B: int):
             return ring, (y, psi)
 
         keys = jax.random.split(key, T)
-        ring0 = jnp.zeros((L, N), jnp.float32)
+        if ring0 is None:
+            ring0 = jnp.zeros((L, N), jnp.float32)
         _, (Y, psi) = lax.scan(step, ring0, keys)
         return Y, psi
 

@@ -175,3 +175,21 @@ def test_fit_returns_samples():
     assert out["W"].shape == (3, 4, 4, 2)
     assert out["bias"].shape == (3, 4)
     assert np.all(np.isfinite(out["lls"]))
+
+
+def test_forecast():
+    m = pt.SparseBernoulliGLM(5, B=2, L=4, seed=0)
+    m.generate(400, keep=True)
+    for _ in range(3):
+        m.resample_model()
+    F = m.forecast(50, n_samples=3, thin=1)
+    assert F.shape == (3, 50, 5)
+    assert set(np.unique(F)) <= {0.0, 1.0}
+    # forecasts differ across posterior samples
+    assert not np.array_equal(F[0], F[1])
+    # short-history edge case: dataset shorter than L
+    m2 = pt.SparseBernoulliGLM(3, B=2, L=8, seed=1)
+    m2.add_data(np.zeros((5, 3), np.float32))
+    m2.resample_model()
+    F2 = m2.forecast(10, n_samples=1, thin=0)
+    assert F2.shape == (1, 10, 3)
