@@ -100,7 +100,26 @@ class NonlinearAutoregressiveModel:
         assert Y.ndim == 2 and Y.shape[1] == self.N, (
             f"expected (T, {self.N}) data, got {Y.shape}")
         Xf = design_matrix(Y, self.basis)
-        self.datas.append(GLMData(Y=Y, Xf=Xf))
+        Gg0 = Gfull = XtY = None
+        if not self.observation.needs_pg:
+            # Gaussian fast path: cache unweighted Gram statistics once —
+            # omega = 1/eta is time-constant, so per-sweep stats are just
+            # these divided by eta (see models/sweep.py).
+            from pyglm_tpu.models.weights import (
+                group_gram_blocks, _auto_group)
+            T = Y.shape[0]
+            if self.spike_and_slab:
+                G = _auto_group(self.N)
+                Gg0 = group_gram_blocks(
+                    Xf, jnp.ones((T, 1), jnp.float32), self.B, G,
+                    t_chunk=self._t_chunk, precision=self._precision)
+            else:
+                Gfull = jnp.einsum(
+                    "tp,tq->pq", Xf, Xf,
+                    preferred_element_type=jnp.float32)
+                XtY = jnp.einsum("tp,tn->pn", Xf, Y,
+                                 preferred_element_type=jnp.float32)
+        self.datas.append(GLMData(Y=Y, Xf=Xf, Gg0=Gg0, Gfull=Gfull, XtY=XtY))
 
     def generate(self, T: int, keep: bool = True):
         """Sample a (T, N) spike train from the current model parameters."""

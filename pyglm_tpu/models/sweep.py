@@ -23,6 +23,12 @@ from pyglm_tpu.models.weights import (
 class GLMData(NamedTuple):
     Y: jax.Array    # (T, N) observations
     Xf: jax.Array   # (T, P) flattened design (P = N*B+1, last col = ones)
+    # Cached unweighted Gram statistics (Gaussian observations only — there
+    # omega = 1/eta_n is constant over time, so X'OmegaX = Gram / eta_n and
+    # the per-sweep stat scans over T collapse to broadcasts):
+    Gg0: object = None   # (Ng, 1, GB, GB) unweighted group Gram blocks
+    Gfull: object = None  # (P, P) unweighted full Gram
+    XtY: object = None    # (P, N) X' Y
 
 
 class GLMState(NamedTuple):
@@ -53,6 +59,12 @@ def make_gibbs_sweep(obs, network, N: int, B: int, spike_slab: bool,
         hyp = network.edge_hypers(state.net)
         Y_cat = jnp.concatenate([d.Y for d in datas], axis=0)
 
+        # Gaussian observations: omega = 1/eta_n is constant over time, so
+        # the weighted Gram stats are cached unweighted Grams / eta
+        # (computed once at add_data) instead of per-sweep O(T) scans.
+        gaussian_cached = (not obs.needs_pg
+                           and all(d.Gg0 is not None for d in datas))
+
         if spike_slab:
             # Residual-space collapsed update: O(N^2 T B), no Gram stack.
             # Datasets concatenate along time (designs never cross datasets).
@@ -60,23 +72,36 @@ def make_gibbs_sweep(obs, network, N: int, B: int, spike_slab: bool,
             psi = jnp.dot(Xf_cat, w_full,
                           preferred_element_type=jnp.float32)
             omega, kappa = obs.omega_kappa(k_pg, Y_cat, psi, state.aux)
+            Jg = None
+            if gaussian_cached:
+                Gg0 = sum(d.Gg0 for d in datas)        # (Ng, 1, GB, GB)
+                inv_eta = 1.0 / state.aux["eta"]
+                Jg = Gg0 * inv_eta[None, :, None, None]
             A, w_full, u, _ = resample_spike_slab_tspace(
                 k_w, Xf_cat, omega, kappa, w_full, hyp, B,
-                t_chunk=t_chunk, precision=precision, psi=psi)
+                t_chunk=t_chunk, precision=precision, psi=psi, Jg=Jg)
             # psi under the NEW weights, recovered without a big matmul.
             psi_cat = (kappa - u) / omega
         else:
             P = N * B + 1
-            J_tot = jnp.zeros((N, P, P), jnp.float32)
-            h_tot = jnp.zeros((P, N), jnp.float32)
-            for i, d in enumerate(datas):
-                psi = d.Xf @ w_full
-                omega, kappa = obs.omega_kappa(
-                    jax.random.fold_in(k_pg, i), d.Y, psi, state.aux)
-                J, h = sufficient_stats(d.Xf, omega, kappa,
-                                        t_chunk=t_chunk, precision=precision)
-                J_tot = J_tot + J
-                h_tot = h_tot + h
+            if gaussian_cached:
+                inv_eta = 1.0 / state.aux["eta"]
+                Gfull = sum(d.Gfull for d in datas)
+                XtY = sum(d.XtY for d in datas)
+                J_tot = Gfull[None] * inv_eta[:, None, None]   # (N, P, P)
+                h_tot = XtY * inv_eta[None, :]
+            else:
+                J_tot = jnp.zeros((N, P, P), jnp.float32)
+                h_tot = jnp.zeros((P, N), jnp.float32)
+                for i, d in enumerate(datas):
+                    psi = d.Xf @ w_full
+                    omega, kappa = obs.omega_kappa(
+                        jax.random.fold_in(k_pg, i), d.Y, psi, state.aux)
+                    J, h = sufficient_stats(
+                        d.Xf, omega, kappa,
+                        t_chunk=t_chunk, precision=precision)
+                    J_tot = J_tot + J
+                    h_tot = h_tot + h
             w_full = resample_dense(k_w, J_tot, h_tot, hyp, B)
             A = jnp.ones((N, N), jnp.float32)
             psi_cat = jnp.concatenate([d.Xf @ w_full for d in datas], axis=0)

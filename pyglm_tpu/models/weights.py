@@ -276,7 +276,7 @@ def _auto_group(N_pre: int, target: int = 5) -> int:
 def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
                                hyp: EdgeHypers, B: int, t_chunk: int = 512,
                                precision: str = "highest",
-                               group: int | None = None, psi=None):
+                               group: int | None = None, psi=None, Jg=None):
     """Collapsed spike-and-slab for all neurons in residual (T-) space.
 
     Instead of materializing the full (N, P, P) Gram stack (O(N^3 T B^2)
@@ -304,8 +304,9 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
     Ng = N_pre // G
     GB = G * B
 
-    Jg = group_gram_blocks(Xf, omega, B, G, t_chunk=t_chunk,
-                           precision=precision)       # (Ng, N, GB, GB)
+    if Jg is None:
+        Jg = group_gram_blocks(Xf, omega, B, G, t_chunk=t_chunk,
+                               precision=precision)   # (Ng, N, GB, GB)
     C0 = jnp.linalg.cholesky(hyp.Lam)                 # (Npre, N, B, B)
     ld0_half = jnp.sum(jnp.log(jnp.diagonal(C0, axis1=-2, axis2=-1)), axis=-1)
 

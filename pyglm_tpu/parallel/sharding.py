@@ -54,8 +54,11 @@ def glm_shardings(mesh: Mesh, state: GLMState, datas: tuple):
         net=jax.tree.map(lambda _: rep, state.net),
     )
     data_sh = tuple(
-        GLMData(Y=ns("time", "neuron"), Xf=ns("time", None))
-        for _ in datas)
+        GLMData(Y=ns("time", "neuron"), Xf=ns("time", None),
+                Gg0=None if d.Gg0 is None else rep,
+                Gfull=None if d.Gfull is None else rep,
+                XtY=None if d.XtY is None else ns(None, "neuron"))
+        for d in datas)
     return rep, state_sh, data_sh
 
 

@@ -192,3 +192,22 @@ def test_geweke_sbm():
     b = series["bias"][::THIN]
     z = _z(b.mean(), -1.0, 0.3 ** 2, b.size)
     assert z < 5.0, (b.mean(), z)
+
+
+def test_geweke_gaussian_sparse():
+    """Sparse Gaussian observations through the spike-and-slab scan —
+    marginals must match the prior. (The cached-Gram fast path is covered
+    by the exact-equality test in test_model.py.)"""
+    basis = cosine_basis(B=B, L=L)
+    obs = Gaussian(a_eta=6.0, b_eta=2.0, eta_init=0.5)
+    net = ErdosRenyiConfig(
+        N=N, B=B, rho_init=0.4, learn_rho=False, learn_weight_prior=False,
+        sigma_w=0.003, mu_bias=0.0, sigma_bias=0.1)
+    series = geweke_chain(jax.random.key(7), obs, net, N, B, basis, T,
+                          spike_slab=True, n_iters=N_ITERS)
+    b = series["bias"][::THIN]
+    z = _z(b.mean(), 0.0, 0.1 ** 2, b.size)
+    assert z < 5.0, (b.mean(), z)
+    dens = series["A_density"][::THIN]
+    z = _z(dens.mean(), 0.4, 0.24, dens.size * N * N)
+    assert z < 5.0, (dens.mean(), z)

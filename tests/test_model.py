@@ -193,3 +193,35 @@ def test_forecast():
     m2.resample_model()
     F2 = m2.forecast(10, n_samples=1, thin=0)
     assert F2.shape == (1, 10, 3)
+
+
+def test_gaussian_cached_gram_exact():
+    """The Gaussian fast path (stats = cached unweighted Gram / eta) must
+    equal the directly-computed weighted Gram to matmul precision, and the
+    sparse-Gaussian model must produce identical chains whether or not the
+    cache is present."""
+    import jax
+    import jax.numpy as jnp
+    from pyglm_tpu.models.weights import group_gram_blocks, _auto_group
+    from pyglm_tpu.models.sweep import GLMData
+
+    m = pt.SparseGaussianGLM(6, B=2, L=4, seed=0)
+    Y = m.generate(600, keep=True)
+    d = m.datas[0]
+    assert d.Gg0 is not None
+    eta = m.state.aux["eta"]
+    G = _auto_group(6)
+    direct = group_gram_blocks(
+        d.Xf, jnp.broadcast_to(1.0 / eta[None, :], d.Y.shape), 2, G)
+    cached = d.Gg0 * (1.0 / eta)[None, :, None, None]
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(cached),
+                               rtol=2e-4, atol=2e-4)
+
+    # identical chain trajectories with and without the cache
+    m_nc = pt.SparseGaussianGLM(6, B=2, L=4, seed=0)
+    m_nc.generate(600, keep=True)          # same seed -> same Y and state
+    m_nc.datas = [GLMData(Y=dd.Y, Xf=dd.Xf) for dd in m_nc.datas]  # drop cache
+    for _ in range(3):
+        d1 = m.resample_model()
+        d2 = m_nc.resample_model()
+    assert abs(d1["log_likelihood"] - d2["log_likelihood"]) < 0.5, (d1, d2)
