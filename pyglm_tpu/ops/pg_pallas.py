@@ -170,27 +170,9 @@ def _pg_kernel(seed_ref, psi_ref, out_ref, done_ref):
     done_ref[:] = acc
 
 
-@jax.jit
-def pg_devroye_pallas(key, c):
-    """Exact PG(1, c), elementwise over any-shaped c.
-
-    Fast path: one fused Pallas proposal round over everything. Tail path:
-    the <~1% of elements whose proposal failed are finished by the exact
-    masked-while XLA sampler (continuation via its `init`). Both paths are
-    exact, so the mixture is exact."""
-    from pyglm_tpu.ops.polyagamma import pg_devroye
-
-    c = jnp.asarray(c, jnp.float32)
-    shape = c.shape
-    total = c.size
-    per_blk = _BLK * _LANES
-    n_blk = -(-total // per_blk)
-    flat = jnp.pad(c.ravel(), (0, n_blk * per_blk - total))
-    flat = flat.reshape(n_blk * _BLK, _LANES)
-    k_pallas, k_tail = jax.random.split(key)
-    seed = jax.random.key_data(k_pallas).astype(jnp.uint32)[:2].astype(jnp.int32)
-
-    out, done = pl.pallas_call(
+def _kernel_pass(key, flat, n_blk):
+    seed = jax.random.key_data(key).astype(jnp.uint32)[:2].astype(jnp.int32)
+    return pl.pallas_call(
         _pg_kernel,
         grid=(n_blk,),
         in_specs=[
@@ -210,9 +192,76 @@ def pg_devroye_pallas(key, c):
         ],
     )(seed, flat)
 
-    out = out.ravel()[:total].reshape(shape)
-    done = done.ravel()[:total].reshape(shape) > 0.5
-    # Continuation: the exact masked-while XLA sampler finishes the <1%
-    # stragglers in place (compaction via jnp.nonzero costs more than the
-    # masked passes at these failure rates).
-    return pg_devroye(k_tail, c, init=(out, done))
+
+_SEG = 4096
+_MAX_EXTRACT = 64
+
+
+def _finish_by_extraction(key, c2, out2, fail2):
+    """Exact finisher for the last ~dozen stragglers.
+
+    c2/out2/fail2 are (S, SEG). Each round resolves the FIRST failure of
+    every segment: one vectorized argmax pass, one exact XLA Devroye draw on
+    an (S,)-sized array (cheap while-loops at that size), one row-indexed
+    scatter. Loops until no failures remain (expected 1-2 rounds; capped)."""
+    from pyglm_tpu.ops.polyagamma import pg_devroye
+
+    S = c2.shape[0]
+    rows = jnp.arange(S)
+
+    def cond(state):
+        i, _, _, fail2 = state
+        return (i < _MAX_EXTRACT) & jnp.any(fail2)
+
+    def body(state):
+        i, key, out2, fail2 = state
+        key, k1 = jax.random.split(key)
+        arg = jnp.argmax(fail2, axis=1)                      # (S,)
+        has = jnp.any(fail2, axis=1)
+        cvals = c2[rows, arg]
+        draws = pg_devroye(k1, cvals)                        # (S,) exact
+        out2 = out2.at[rows, arg].set(
+            jnp.where(has, draws, out2[rows, arg]))
+        fail2 = fail2.at[rows, arg].set(False)
+        return i + 1, key, out2, fail2
+
+    _, _, out2, _ = lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), key, out2, fail2))
+    return out2
+
+
+@jax.jit
+def pg_devroye_pallas(key, c):
+    """Exact PG(1, c), elementwise over any-shaped c.
+
+    Two independent fused Pallas proposal passes cover all but ~1e-6 of
+    elements (per-pass failure ~1e-3); the surviving stragglers — a dozen
+    out of 20M — are finished by the exact XLA sampler via a segment-argmax
+    extraction loop on an (n/4096)-sized array. Every stage draws from the
+    exact distribution, so the composition is exact. (A full-array XLA
+    continuation costs ~2.4x one kernel pass; jnp.nonzero compaction costs
+    ~5x — hence this shape.)"""
+    c = jnp.asarray(c, jnp.float32)
+    shape = c.shape
+    total = c.size
+    per_blk = _BLK * _LANES
+    n_blk = -(-total // per_blk)
+    flat = jnp.pad(c.ravel(), (0, n_blk * per_blk - total))
+    flat = flat.reshape(n_blk * _BLK, _LANES)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    out1, done1 = _kernel_pass(k1, flat, n_blk)
+    out2, done2 = _kernel_pass(k2, flat, n_blk)
+    out = jnp.where(done1 > 0.5, out1, out2)
+    fail = jnp.maximum(done1, done2) < 0.5
+
+    # Padding rows never count as failures.
+    M = n_blk * _BLK * _LANES
+    valid = (jnp.arange(M) < total).reshape(n_blk * _BLK, _LANES)
+    fail = fail & valid
+
+    S = -(-M // _SEG)
+    c2 = flat.reshape(S, _SEG)
+    out = _finish_by_extraction(
+        k3, c2, out.reshape(S, _SEG), fail.reshape(S, _SEG))
+    return out.reshape(-1)[:total].reshape(shape)
