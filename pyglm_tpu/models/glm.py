@@ -234,6 +234,47 @@ class NonlinearAutoregressiveModel:
                       f"edges={diag['n_edges']:.0f}")
         return {k: np.asarray(v) for k, v in samples.items()}
 
+    def fit_compiled(self, n_samples: int = 100, n_burnin: int = 0,
+                     thin: int = 1):
+        """Run the whole Gibbs chain as ONE compiled lax.scan on device.
+
+        Much faster than fit() when per-sweep dispatch dominates (small and
+        medium models); sample storage lives on device during the run, so
+        keep n_samples * |state| within HBM. Returns the same dict as fit().
+        Not available on a sharded model (use fit()).
+        """
+        assert self.datas, "call add_data() first"
+        if self._mesh is not None:
+            raise NotImplementedError("fit_compiled on a sharded model: "
+                                      "use fit()")
+        datas = tuple(self.datas)
+        sweep = self._sweep
+
+        def burn(state, k):
+            state, _ = sweep(k, state, datas)
+            return state, None
+
+        def sample(state, k):
+            ks = jax.random.split(k, thin)
+            state, diags = jax.lax.scan(
+                lambda s, kk: sweep(kk, s, datas), state, ks)
+            return state, (state.A, state.W, state.b,
+                           diags["log_likelihood"][-1])
+
+        @jax.jit
+        def run(key, state):
+            kb, ks = jax.random.split(key)
+            if n_burnin > 0:
+                state, _ = jax.lax.scan(
+                    burn, state, jax.random.split(kb, n_burnin))
+            state, (A, W, b, lls) = jax.lax.scan(
+                sample, state, jax.random.split(ks, n_samples))
+            return state, A, W, b, lls
+
+        self.state, A, W, b, lls = run(self._next_key(), self.state)
+        return {"A": np.asarray(A), "W": np.asarray(W),
+                "bias": np.asarray(b), "lls": np.asarray(lls)}
+
     def copy_sample(self):
         """Host snapshot of the current parameter sample (pickle-friendly)."""
         return jax.tree.map(np.asarray, self.state)

@@ -225,3 +225,34 @@ def test_gaussian_cached_gram_exact():
         d1 = m.resample_model()
         d2 = m_nc.resample_model()
     assert abs(d1["log_likelihood"] - d2["log_likelihood"]) < 0.5, (d1, d2)
+
+
+def test_fit_compiled_matches_fit_statistically():
+    true = pt.SparseBernoulliGLM(
+        6, B=2, L=4, seed=9,
+        net_kwargs=dict(rho_init=0.4, learn_rho=False, sigma_w=1.5,
+                        mu_bias=-1.0, learn_weight_prior=False))
+    Y = true.generate(3000, keep=False)
+
+    m1 = pt.SparseBernoulliGLM(6, B=2, L=4, seed=0)
+    m1.add_data(Y)
+    out1 = m1.fit(n_samples=40, n_burnin=20)
+
+    m2 = pt.SparseBernoulliGLM(6, B=2, L=4, seed=1)
+    m2.add_data(Y)
+    out2 = m2.fit_compiled(n_samples=40, n_burnin=20)
+
+    assert out2["A"].shape == (40, 6, 6)
+    assert out2["W"].shape == (40, 6, 6, 2)
+    assert np.all(np.isfinite(out2["lls"]))
+    # same posterior: aggregate functionals agree within MC tolerance
+    # (per-edge marginals are too noisy at 40 correlated samples)
+    assert abs(out1["A"].mean() - out2["A"].mean()) < 0.12
+    assert abs(out1["lls"][-10:].mean() - out2["lls"][-10:].mean()) < 60
+
+
+def test_fit_compiled_thin_and_zero_burnin():
+    m = pt.SparseBernoulliGLM(4, B=2, L=4, seed=2)
+    m.generate(400, keep=True)
+    out = m.fit_compiled(n_samples=5, n_burnin=0, thin=3)
+    assert out["A"].shape == (5, 4, 4) and out["lls"].shape == (5,)
