@@ -375,7 +375,7 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
     b_old = w[P - 1]
     m_b = jnp.sum(u, axis=0) + sum_om * b_old + hyp.lam_b * hyp.mu_b
     lam_p = hyp.lam_b + sum_om
-    b_new = m_b / lam_p + jax.random.normal(keys[N_pre], (N,)) / jnp.sqrt(lam_p)
+    b_new = m_b / lam_p + jax.random.normal(keys[Ng], (N,)) / jnp.sqrt(lam_p)
     u = u - omega * (b_new - b_old)[None, :]
     w = w.at[P - 1].set(b_new)
     return A, w, u, sum_om
