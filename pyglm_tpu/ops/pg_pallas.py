@@ -197,16 +197,15 @@ _SEG = 4096
 _MAX_EXTRACT = 64
 
 
-def _finish_by_extraction(key, c2, out2, fail2):
+def _finish_by_extraction(key, arrs2, out2, fail2, draw_fn):
     """Exact finisher for the last ~dozen stragglers.
 
-    c2/out2/fail2 are (S, SEG). Each round resolves the FIRST failure of
-    every segment: one vectorized argmax pass, one exact XLA Devroye draw on
-    an (S,)-sized array (cheap while-loops at that size), one row-indexed
-    scatter. Loops until no failures remain (expected 1-2 rounds; capped)."""
-    from pyglm_tpu.ops.polyagamma import pg_devroye
-
-    S = c2.shape[0]
+    arrs2 is a tuple of (S, SEG) parameter arrays; out2/fail2 are (S, SEG).
+    Each round resolves the FIRST failure of every segment: one vectorized
+    argmax pass, one exact XLA draw_fn(key, *params) on an (S,)-sized array
+    (cheap while-loops at that size), one row-indexed scatter. Loops until
+    no failures remain (expected 1-2 rounds; capped)."""
+    S = out2.shape[0]
     rows = jnp.arange(S)
 
     def cond(state):
@@ -218,8 +217,8 @@ def _finish_by_extraction(key, c2, out2, fail2):
         key, k1 = jax.random.split(key)
         arg = jnp.argmax(fail2, axis=1)                      # (S,)
         has = jnp.any(fail2, axis=1)
-        cvals = c2[rows, arg]
-        draws = pg_devroye(k1, cvals)                        # (S,) exact
+        vals = tuple(a2[rows, arg] for a2 in arrs2)
+        draws = draw_fn(k1, *vals)                           # (S,) exact
         out2 = out2.at[rows, arg].set(
             jnp.where(has, draws, out2[rows, arg]))
         fail2 = fail2.at[rows, arg].set(False)
@@ -260,8 +259,146 @@ def pg_devroye_pallas(key, c):
     valid = (jnp.arange(M) < total).reshape(n_blk * _BLK, _LANES)
     fail = fail & valid
 
+    from pyglm_tpu.ops.polyagamma import pg_devroye
     S = -(-M // _SEG)
     c2 = flat.reshape(S, _SEG)
     out = _finish_by_extraction(
-        k3, c2, out.reshape(S, _SEG), fail.reshape(S, _SEG))
+        k3, (c2,), out.reshape(S, _SEG), fail.reshape(S, _SEG), pg_devroye)
     return out.reshape(-1)[:total].reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Gamma-series PG(b, c) kernel (general real b — the NB path's hot loop)
+# ---------------------------------------------------------------------------
+
+_GAMMA_K = 32       # series terms drawn in-kernel
+_GAMMA_R = 3        # Marsaglia-Tsang rejection rounds per draw
+
+
+def _pg_gamma_kernel(seed_ref, b_ref, c_ref, out_ref, done_ref):
+    """Truncated gamma-series sum: out = (1/2pi^2) sum_k Gamma(b)/d_k.
+
+    Gamma(b) via Marsaglia-Tsang with fixed _GAMMA_R rounds (accept ~0.96+
+    per round); b < 1 handled by the Gamma(b+1) U^{1/b} boost. done=0 marks
+    elements where any of the K draws exhausted its budget — those are
+    redrawn exactly by the caller. The moment-matched tail term is added by
+    the caller (it needs atan, which Mosaic lacks)."""
+    pid = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + pid * 1000003, seed_ref[1] + pid)
+    shape = b_ref.shape
+    one = jnp.ones(shape, jnp.float32)
+    zero = jnp.zeros(shape, jnp.float32)
+
+    b = jnp.maximum(b_ref[:], 1e-6)
+    small = jnp.where(b < 1.0, one, zero)
+    bb = b + small                       # MT shape >= 1
+    d = bb - 1.0 / 3.0
+    cmt = 1.0 / (3.0 * jnp.sqrt(d))
+    inv_b = 1.0 / b
+    a = jnp.abs(c_ref[:]) / (2.0 * _PI)
+    a2 = a * a
+
+    def series_term(k, carry):
+        s, all_ok = carry
+        # one Gamma(bb) draw with _GAMMA_R fixed accept-reject rounds
+        g = zero
+        ok = zero
+        for _ in range(_GAMMA_R):
+            x = _normal(shape)
+            v0 = 1.0 + cmt * x
+            v = v0 * v0 * v0
+            pos = jnp.where(v0 > 0.0, one, zero)
+            vs = jnp.maximum(v, 1e-30)
+            logu = jnp.log(_uniform(shape))
+            acc = pos * jnp.where(
+                logu < 0.5 * x * x + d - d * vs + d * jnp.log(vs), one, zero)
+            take = acc * (1.0 - ok)
+            g = g + take * d * vs
+            ok = jnp.maximum(ok, acc)
+        # b < 1 boost: Gamma(b) = Gamma(b+1) * U^(1/b)
+        boost = jnp.exp(jnp.log(_uniform(shape)) * inv_b)
+        g = g * (small * boost + (1.0 - small))
+        kf = k.astype(jnp.float32)
+        dk = (kf - 0.5) * (kf - 0.5) + a2
+        return s + g / dk, all_ok * ok
+
+    s, all_ok = lax.fori_loop(1, _GAMMA_K + 1, series_term, (zero, one))
+    out_ref[:] = s / (2.0 * _PI * _PI)
+    done_ref[:] = all_ok
+
+
+@partial(jax.jit, static_argnames=("K",))
+def pg_gamma_series_pallas(key, b, c, K: int = 32):
+    """PG(b, c) for arbitrary real b > 0: fused in-kernel gamma series +
+    XLA moment-matched tail; stragglers finished exactly (same two-stage
+    shape as pg_devroye_pallas). K is fixed at the kernel's _GAMMA_K."""
+    from pyglm_tpu.ops.polyagamma import pg_gamma_series, _tail_sums
+
+    assert K == _GAMMA_K, "kernel compiled for K=32"
+    b = jnp.asarray(b, jnp.float32)
+    c = jnp.asarray(c, jnp.float32)
+    shape = jnp.broadcast_shapes(b.shape, c.shape)
+    b = jnp.broadcast_to(b, shape)
+    c = jnp.broadcast_to(c, shape)
+    total = b.size
+    per_blk = _BLK * _LANES
+    n_blk = -(-total // per_blk)
+    padn = n_blk * per_blk - total
+    bflat = jnp.pad(b.ravel(), (0, padn), constant_values=1.0)
+    cflat = jnp.pad(c.ravel(), (0, padn))
+    b2d = bflat.reshape(n_blk * _BLK, _LANES)
+    c2d = cflat.reshape(n_blk * _BLK, _LANES)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    def gamma_pass(kk):
+        seed = jax.random.key_data(kk).astype(jnp.uint32)[:2].astype(jnp.int32)
+        return pl.pallas_call(
+            _pg_gamma_kernel,
+            grid=(n_blk,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((_BLK, _LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BLK, _LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((_BLK, _LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BLK, _LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_blk * _BLK, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((n_blk * _BLK, _LANES), jnp.float32),
+            ],
+        )(seed, b2d, c2d)
+
+    out1, done1 = gamma_pass(k1)
+    out2, done2 = gamma_pass(k2)
+    series = jnp.where(done1 > 0.5, out1, out2)
+    fail = jnp.maximum(done1, done2) < 0.5
+    M = n_blk * per_blk
+    valid = (jnp.arange(M) < total).reshape(n_blk * _BLK, _LANES)
+    fail = fail & valid
+
+    # Moment-matched tail (needs atan -> XLA), one gamma draw per element.
+    k3a, k3b = jax.random.split(k3)
+    bsafe = jnp.maximum(bflat, 1e-6)
+    a = jnp.abs(cflat) / (2.0 * _PI)
+    S1, S2 = _tail_sums(a, _GAMMA_K)
+    m_t = bsafe * S1 / (2.0 * _PI * _PI)
+    v_t = bsafe * S2 / (4.0 * _PI ** 4)
+    alpha = m_t * m_t / jnp.maximum(v_t, 1e-30)
+    beta = m_t / jnp.maximum(v_t, 1e-30)
+    tail = jax.random.gamma(k3a, alpha.reshape(n_blk * _BLK, _LANES)) / (
+        beta.reshape(n_blk * _BLK, _LANES))
+    out = series + tail
+
+    S = -(-M // _SEG)
+    out = _finish_by_extraction(
+        k3b, (b2d.reshape(S, _SEG), c2d.reshape(S, _SEG)),
+        out.reshape(S, _SEG), fail.reshape(S, _SEG),
+        lambda kk, bs, cs: pg_gamma_series(kk, bs, cs, K=_GAMMA_K))
+    out = out.reshape(-1)[:total]
+    return jnp.where(b.ravel() > 0, out, 0.0).reshape(shape)

@@ -356,7 +356,7 @@ def polya_gamma(key, b, c, method: str = "auto", K: int = 32):
     if method == "devroye":
         return pg_devroye(key, c)
     if method == "gamma":
-        return pg_gamma_series(key, b, c, K=K)
+        return _gamma_series_dispatch(key, b, c, K)
     if method == "normal":
         return pg_normal_approx(key, b, c)
 
@@ -364,8 +364,22 @@ def polya_gamma(key, b, c, method: str = "auto", K: int = 32):
     out = jnp.where(
         b >= _NORMAL_CUTOFF,
         pg_normal_approx(k1, b, c),
-        pg_gamma_series(k2, jnp.minimum(b, _NORMAL_CUTOFF), c, K=K),
+        _gamma_series_dispatch(k2, jnp.minimum(b, _NORMAL_CUTOFF), c, K),
     )
     if method == "auto":
         out = jnp.where(b == 1.0, pg_devroye(k3, c), out)
     return jnp.where(b > 0, out, 0.0)
+
+
+def _gamma_series_dispatch(key, b, c, K):
+    """Fused Pallas gamma-series on a single TPU (kernel fixed at K=32),
+    pure-XLA otherwise. Same override env var as pg_draw_unit."""
+    import os
+    env = os.environ.get("PYGLM_PG_BACKEND")
+    devs = jax.devices()
+    use_pallas = (env != "xla" and K == 32
+                  and devs[0].platform == "tpu" and len(devs) == 1)
+    if use_pallas:
+        from pyglm_tpu.ops.pg_pallas import pg_gamma_series_pallas
+        return pg_gamma_series_pallas(key, b, c, K=K)
+    return pg_gamma_series(key, b, c, K=K)

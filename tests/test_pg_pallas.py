@@ -36,3 +36,43 @@ def test_pallas_vs_xla_ks():
     ks = np.max(np.abs(np.searchsorted(s1, grid, side="right") / n
                        - np.searchsorted(s2, grid, side="right") / n))
     assert ks < 1.95 * np.sqrt(2.0 / n), ks
+
+
+@pytest.mark.parametrize("b,c", [
+    (0.3, 1.0), (1.0, 2.0), (2.5, 0.0), (13.0, 1.0), (40.0, 6.0)])
+def test_gamma_pallas_moments(b, c):
+    from pyglm_tpu.ops.pg_pallas import pg_gamma_series_pallas
+    from pyglm_tpu.ops.polyagamma import pg_mean, pg_var
+    bs = jnp.full((300_000,), b, jnp.float32)
+    cs = jnp.full((300_000,), c, jnp.float32)
+    s = np.asarray(pg_gamma_series_pallas(
+        jax.random.key(hash(("gp", b, c)) % 2**31), bs, cs), np.float64)
+    m, v = float(pg_mean(b, c)), float(pg_var(b, c))
+    assert np.all(np.isfinite(s)) and np.all(s > 0)
+    z = abs(s.mean() - m) / np.sqrt(v / s.size)
+    assert z < 6.0, (s.mean(), m, z)
+
+
+def test_gamma_pallas_vs_xla_ks():
+    from pyglm_tpu.ops.pg_pallas import pg_gamma_series_pallas
+    from pyglm_tpu.ops.polyagamma import pg_gamma_series
+    n = 100_000
+    b = jnp.full((n,), 3.5, jnp.float32)
+    c = jnp.full((n,), 1.0, jnp.float32)
+    s1 = np.sort(np.asarray(pg_gamma_series_pallas(jax.random.key(0), b, c),
+                            np.float64))
+    s2 = np.sort(np.asarray(pg_gamma_series(jax.random.key(1), b, c),
+                            np.float64))
+    grid = np.concatenate([s1, s2])
+    ks = np.max(np.abs(np.searchsorted(s1, grid, side="right") / n
+                       - np.searchsorted(s2, grid, side="right") / n))
+    assert ks < 1.95 * np.sqrt(2.0 / n), ks
+
+
+def test_gamma_pallas_mixed_b_shapes():
+    from pyglm_tpu.ops.pg_pallas import pg_gamma_series_pallas
+    rng = np.random.RandomState(0)
+    b = jnp.asarray(rng.poisson(2.0, (317,)) + 0.4, jnp.float32)
+    c = jnp.asarray(rng.randn(317), jnp.float32)
+    s = np.asarray(pg_gamma_series_pallas(jax.random.key(2), b, c))
+    assert s.shape == (317,) and np.all(np.isfinite(s)) and np.all(s > 0)
