@@ -367,7 +367,7 @@ def polya_gamma(key, b, c, method: str = "auto", K: int = 32):
         _gamma_series_dispatch(k2, jnp.minimum(b, _NORMAL_CUTOFF), c, K),
     )
     if method == "auto":
-        out = jnp.where(b == 1.0, pg_devroye(k3, c), out)
+        out = jnp.where(b == 1.0, pg_draw_unit(k3, c), out)
     return jnp.where(b > 0, out, 0.0)
 
 
