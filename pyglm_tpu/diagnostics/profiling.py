@@ -89,7 +89,7 @@ def sweep_breakdown(model, n_reps: int = 3) -> OrderedDict:
     psi = force_sync(psi_f(Xf, w_full))
     omega, kappa = pg_f(key, Y, psi)
     force_sync(omega)
-    G = _auto_group((model.P - 1) // B)
+    G = _auto_group((model.P - 1) // B, B)
     gg = force_sync(group_gram_blocks(Xf, omega, B, G))
     if model.spike_and_slab:
         force_sync(resample_spike_slab_tspace(

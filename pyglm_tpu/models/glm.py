@@ -109,7 +109,7 @@ class NonlinearAutoregressiveModel:
                 group_gram_blocks, _auto_group)
             T = Y.shape[0]
             if self.spike_and_slab:
-                G = _auto_group(self.N)
+                G = _auto_group(self.N, self.B)
                 Gg0 = group_gram_blocks(
                     Xf, jnp.ones((T, 1), jnp.float32), self.B, G,
                     t_chunk=self._t_chunk, precision=self._precision)

@@ -265,11 +265,25 @@ def group_gram_blocks(Xf, omega, B: int, G: int, t_chunk: int = 512,
     return acc.reshape(Ng, GB, GB, N).transpose(0, 3, 1, 2)
 
 
-def _auto_group(N_pre: int, target: int = 5) -> int:
-    """Divisor of N_pre nearest to `target` (empirical sweet spot between
-    group-Gram FLOPs ~ G and residual HBM traffic ~ 1/G; see BASELINE.md)."""
+def _use_pallas_gram() -> bool:
+    import os
+    if os.environ.get("PYGLM_PG_BACKEND") == "xla":
+        return False
+    devs = jax.devices()
+    return devs[0].platform == "tpu" and len(devs) == 1
+
+
+def _auto_group(N_pre: int, B: int = 4) -> int:
+    """Divisor of N_pre balancing group-Gram FLOPs (~G) against residual
+    HBM traffic (~1/G); on TPU prefer G*B % 8 == 0 so the fused Pallas Gram
+    kernel (ops/gram_pallas.py) is usable — it beats the XLA path despite
+    the larger G."""
     divs = [g for g in range(1, min(16, N_pre) + 1) if N_pre % g == 0]
-    return min(divs, key=lambda g: (abs(g - target), -g))
+    if _use_pallas_gram():
+        aligned = [g for g in divs if (g * B) % 8 == 0]
+        if aligned:
+            return min(aligned, key=lambda g: (abs(g - 8), -g))
+    return min(divs, key=lambda g: (abs(g - 5), -g))
 
 
 @partial(jax.jit, static_argnames=("B", "t_chunk", "precision", "group"))
@@ -300,13 +314,19 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
     T, P = Xf.shape
     N = omega.shape[1]
     N_pre = (P - 1) // B
-    G = _auto_group(N_pre) if group is None else group
+    G = _auto_group(N_pre, B) if group is None else group
     Ng = N_pre // G
     GB = G * B
 
     if Jg is None:
-        Jg = group_gram_blocks(Xf, omega, B, G, t_chunk=t_chunk,
-                               precision=precision)   # (Ng, N, GB, GB)
+        if _use_pallas_gram() and GB % 8 == 0 and precision == "default":
+            # Opt-in speed mode: single-bf16-pass fused Gram kernel.
+            from pyglm_tpu.ops.gram_pallas import group_gram_blocks_pallas
+            Jg = group_gram_blocks_pallas(Xf, omega, B, G, t_chunk=t_chunk,
+                                          fast=True)
+        else:
+            Jg = group_gram_blocks(Xf, omega, B, G, t_chunk=t_chunk,
+                                   precision=precision)  # (Ng, N, GB, GB)
     C0 = jnp.linalg.cholesky(hyp.Lam)                 # (Npre, N, B, B)
     ld0_half = jnp.sum(jnp.log(jnp.diagonal(C0, axis1=-2, axis2=-1)), axis=-1)
 

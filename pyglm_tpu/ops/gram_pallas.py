@@ -1,0 +1,98 @@
+"""Fused Pallas kernel for the omega-weighted group-Gram blocks.
+
+The XLA path (models/weights.py group_gram_blocks) materializes the
+Z[t, (p,q)] = X[t,p] X[t,q] expansion in HBM (~13 GB of traffic per flagship
+sweep). This kernel forms Z in VMEM per (group, time-chunk) tile and feeds
+the MXU directly, accumulating the (GB^2, N) output block across the
+time-chunk grid dimension.
+
+Layout notes (Mosaic tiling): the design matrix is consumed TRANSPOSED,
+(P, T), so a group's GB columns sit on the sublane axis — GB must be a
+multiple of 8 (use group sizes like 2, 4, 8, 16 with B=4). The postsyn axis
+is padded to a multiple of 128 lanes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mm(a_, b_):
+    return jax.lax.dot_general(
+        a_, b_, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _gram_kernel_fast(xt_ref, om_ref, out_ref):
+    """Single bf16 MXU pass: ~8e-4 relative error on the stats. This is the
+    opt-in speed mode (model precision='default'); statistically validated
+    against the f32 path in the acceptance harness, but not bitwise-f32."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = xt_ref[:]
+    GB, tc = x.shape
+    Z = (x[:, None, :] * x[None, :, :]).reshape(GB * GB, tc)
+    out_ref[0] += _mm(Z, om_ref[:])
+
+
+def _gram_kernel_f32(xt_ref, om_ref, out_ref):
+    """Manual bf16x3 (~f32-accurate; Mosaic has no HIGH lowering)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = xt_ref[:]
+    GB, tc = x.shape
+    Z = (x[:, None, :] * x[None, :, :]).reshape(GB * GB, tc)
+    om = om_ref[:]
+    Zhi = Z.astype(jnp.bfloat16)
+    Zlo = (Z - Zhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    Ohi = om.astype(jnp.bfloat16)
+    Olo = (om - Ohi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out_ref[0] += _mm(Zhi, Ohi) + _mm(Zhi, Olo) + _mm(Zlo, Ohi)
+
+
+@partial(jax.jit, static_argnames=("B", "G", "t_chunk", "fast"))
+def group_gram_blocks_pallas(Xf, omega, B: int, G: int, t_chunk: int = 512,
+                             fast: bool = False):
+    """Drop-in for group_gram_blocks on TPU: (Ng, N, GB, GB) blocks.
+    Requires (G*B) % 8 == 0. fast=True: single-bf16-pass stats (~8e-4 rel)."""
+    kernel = _gram_kernel_fast if fast else _gram_kernel_f32
+    T, P = Xf.shape
+    N_pre = (P - 1) // B
+    assert N_pre % G == 0
+    Ng = N_pre // G
+    GB = G * B
+    assert GB % 8 == 0, f"G*B={GB} must be a multiple of 8 for the kernel"
+    N = omega.shape[1]
+    n_chunks = -(-T // t_chunk)
+    pad_t = n_chunks * t_chunk - T
+    Npad = -(-N // 128) * 128
+    Xt = jnp.pad(Xf[:, : N_pre * B], ((0, pad_t), (0, 0))).T  # (P-1, Tpad)
+    Op = jnp.pad(omega, ((0, pad_t), (0, Npad - N)))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Ng, n_chunks),
+        in_specs=[
+            pl.BlockSpec((GB, t_chunk), lambda g, t: (g, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_chunk, Npad), lambda g, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, GB * GB, Npad), lambda g, t: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Ng, GB * GB, Npad), jnp.float32),
+    )(Xt, Op)
+    out = out[:, :, :N].reshape(Ng, GB, GB, N)
+    return out.transpose(0, 3, 1, 2)

@@ -76,3 +76,18 @@ def test_gamma_pallas_mixed_b_shapes():
     c = jnp.asarray(rng.randn(317), jnp.float32)
     s = np.asarray(pg_gamma_series_pallas(jax.random.key(2), b, c))
     assert s.shape == (317,) and np.all(np.isfinite(s)) and np.all(s > 0)
+
+
+def test_gram_pallas_matches_xla():
+    from pyglm_tpu.ops.gram_pallas import group_gram_blocks_pallas
+    from pyglm_tpu.models.weights import group_gram_blocks
+    rng = np.random.RandomState(0)
+    T, N, B, G = 3000, 16, 2, 4          # GB = 8
+    P = N * B + 1
+    Xf = jnp.asarray((rng.rand(T, P) * (rng.rand(T, P) < 0.3)).astype(np.float32))
+    omega = jnp.asarray(rng.rand(T, N).astype(np.float32) + 0.05)
+    a = np.asarray(group_gram_blocks_pallas(Xf, omega, B, G, t_chunk=256))
+    b = np.asarray(group_gram_blocks(Xf, omega, B, G, t_chunk=256,
+                                     precision="highest"))
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+    assert a.shape == (N // G, N, G * B, G * B)
