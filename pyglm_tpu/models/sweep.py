@@ -65,12 +65,15 @@ def make_gibbs_sweep(obs, network, N: int, B: int, spike_slab: bool,
         gaussian_cached = (not obs.needs_pg
                            and all(d.Gg0 is not None for d in datas))
 
+        from pyglm_tpu.models.weights import _PRECISIONS
+        prec = _PRECISIONS[precision]
         if spike_slab:
             # Residual-space collapsed update: O(N^2 T B), no Gram stack.
             # Datasets concatenate along time (designs never cross datasets).
             Xf_cat = jnp.concatenate([d.Xf for d in datas], axis=0)
             psi = jnp.dot(Xf_cat, w_full,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
             omega, kappa = obs.omega_kappa(k_pg, Y_cat, psi, state.aux)
             Jg = None
             if gaussian_cached:
