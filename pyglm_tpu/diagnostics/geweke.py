@@ -57,6 +57,12 @@ def geweke_chain(key, obs, network, N: int, B: int, basis, T: int,
         }
         if hasattr(state.net, "rho"):
             out["rho"] = state.net.rho
+        if hasattr(state.net, "pi"):
+            out["pi"] = state.net.pi
+        if hasattr(state.net, "c"):
+            K = state.net.pi.shape[0]
+            out["c_frac"] = jnp.mean(
+                jax.nn.one_hot(state.net.c, K), axis=0)   # (K,)
         if isinstance(state.aux, dict):
             for k_aux, v in state.aux.items():
                 out[k_aux] = v

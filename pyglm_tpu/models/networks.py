@@ -259,11 +259,17 @@ class SBMConfig:
                 tbl, (0, 0, n, 0), (K, K, 1, N))[:, :, 0, :]
             in_t = lax.dynamic_slice(
                 tblT, (0, 0, n, 0), (K, K, 1, N))[:, :, 0, :]
-            # exclude self-edge from the incoming sum (already in out_t)
+            # The self-edge n->n carries the candidate label on BOTH ends:
+            # exclude it from the outgoing and incoming sums (which pair the
+            # candidate with the OTHER neurons' current labels) and add
+            # tbl[x, x, n, n] once.
             self_mask = 1.0 - jax.nn.one_hot(n, N)
-            ll_out = jnp.einsum("xpm,mp->x", out_t, onehot)
-            ll_in = jnp.einsum("pxm,mp->x", in_t, onehot * self_mask[:, None])
-            logits = jnp.log(state.pi + 1e-12) + ll_out + ll_in
+            masked = onehot * self_mask[:, None]
+            ll_out = jnp.einsum("xpm,mp->x", out_t, masked)
+            ll_in = jnp.einsum("pxm,mp->x", in_t, masked)
+            self_t = lax.dynamic_slice(out_t, (0, 0, n), (K, K, 1))[:, :, 0]
+            ll_self = jnp.diagonal(self_t)
+            logits = jnp.log(state.pi + 1e-12) + ll_out + ll_in + ll_self
             cn = jax.random.categorical(kn, logits)
             onehot = onehot.at[n].set(jax.nn.one_hot(cn, K))
             return onehot, cn

@@ -192,6 +192,16 @@ def test_geweke_sbm():
     b = series["bias"][::THIN]
     z = _z(b.mean(), -1.0, 0.3 ** 2, b.size)
     assert z < 5.0, (b.mean(), z)
+    # label/pi marginals (sensitive to the self-edge term in the label
+    # conditional): pi_0 ~ Beta(1, 1) stationary -> mean 1/2, var 1/12;
+    # block-0 occupancy fraction must also average 1/2 by symmetry.
+    pi0 = series["pi"][::THIN][:, 0]
+    z = _z(pi0.mean(), 0.5, 1.0 / 12.0, pi0.size)
+    assert z < 5.0, (pi0.mean(), z)
+    assert abs(pi0.var() / (1.0 / 12.0) - 1) < 0.35, pi0.var()
+    cf0 = series["c_frac"][::THIN][:, 0]
+    z = _z(cf0.mean(), 0.5, cf0.var() + 1e-12, cf0.size)
+    assert z < 5.0, (cf0.mean(), z)
 
 
 def test_geweke_gaussian_sparse():
