@@ -75,7 +75,8 @@ class NonlinearAutoregressiveModel:
         self._sweep = jax.jit(make_gibbs_sweep(
             self.observation, self.network, N, self.B, self.spike_and_slab,
             t_chunk=t_chunk, precision=precision))
-        self._loglik = jax.jit(make_log_likelihood(self.observation, N, self.B))
+        self._loglik = jax.jit(make_log_likelihood(
+            self.observation, N, self.B, precision=precision))
         self._generate = jax.jit(
             make_generator(self.observation, N, self.B),
             static_argnames=("T",))
@@ -99,6 +100,17 @@ class NonlinearAutoregressiveModel:
         Y = jnp.asarray(Y, jnp.float32)
         assert Y.ndim == 2 and Y.shape[1] == self.N, (
             f"expected (T, {self.N}) data, got {Y.shape}")
+        max_y = getattr(self.observation, "max_y", None)
+        if max_y is not None:
+            # The CRT r-update sums a static max_y tables; counts above it
+            # would be silently dropped, biasing the r conditional.
+            y_max = float(jnp.max(Y))
+            if y_max > max_y:
+                raise ValueError(
+                    f"max observed count {y_max:.0f} exceeds the "
+                    f"observation family's max_y={max_y}; construct with "
+                    f"obs_kwargs=dict(max_y={int(y_max)}) or larger so the "
+                    f"CRT dispersion update sees every count")
         Xf = design_matrix(Y, self.basis)
         Gg0 = Gfull = XtY = None
         if not self.observation.needs_pg:
@@ -114,11 +126,14 @@ class NonlinearAutoregressiveModel:
                     Xf, jnp.ones((T, 1), jnp.float32), self.B, G,
                     t_chunk=self._t_chunk, precision=self._precision)
             else:
+                from pyglm_tpu.models.weights import _PRECISIONS
+                prec = _PRECISIONS[self._precision]
                 Gfull = jnp.einsum(
                     "tp,tq->pq", Xf, Xf,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
                 XtY = jnp.einsum("tp,tn->pn", Xf, Y,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
         self.datas.append(GLMData(Y=Y, Xf=Xf, Gg0=Gg0, Gfull=Gfull, XtY=XtY))
 
     def generate(self, T: int, keep: bool = True):
@@ -196,11 +211,13 @@ class NonlinearAutoregressiveModel:
     def means(self):
         """Per-dataset conditional mean rates E[y_t | history] (reference:
         models.py `means` property)."""
-        from pyglm_tpu.models.weights import pack_weights
+        from pyglm_tpu.models.weights import pack_weights, _PRECISIONS
+        prec = _PRECISIONS[self._precision]
         out = []
         w_full = pack_weights(self.state.A, self.state.W, self.state.b)
         for d in self.datas:
-            psi = d.Xf @ w_full
+            psi = jnp.dot(d.Xf, w_full,
+                          preferred_element_type=jnp.float32, precision=prec)
             out.append(np.asarray(self.observation.mean(psi, self.state.aux)))
         return out
 

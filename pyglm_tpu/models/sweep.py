@@ -97,7 +97,9 @@ def make_gibbs_sweep(obs, network, N: int, B: int, spike_slab: bool,
                 J_tot = jnp.zeros((N, P, P), jnp.float32)
                 h_tot = jnp.zeros((P, N), jnp.float32)
                 for i, d in enumerate(datas):
-                    psi = d.Xf @ w_full
+                    psi = jnp.dot(d.Xf, w_full,
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
                     omega, kappa = obs.omega_kappa(
                         jax.random.fold_in(k_pg, i), d.Y, psi, state.aux)
                     J, h = sufficient_stats(
@@ -107,7 +109,9 @@ def make_gibbs_sweep(obs, network, N: int, B: int, spike_slab: bool,
                     h_tot = h_tot + h
             w_full = resample_dense(k_w, J_tot, h_tot, hyp, B)
             A = jnp.ones((N, N), jnp.float32)
-            psi_cat = jnp.concatenate([d.Xf @ w_full for d in datas], axis=0)
+            psi_cat = jnp.concatenate(
+                [jnp.dot(d.Xf, w_full, preferred_element_type=jnp.float32,
+                         precision=prec) for d in datas], axis=0)
 
         W, b = unpack_weights(w_full, N, B)
         aux = obs.resample_aux(k_aux, state.aux, Y_cat, psi_cat)
@@ -120,10 +124,14 @@ def make_gibbs_sweep(obs, network, N: int, B: int, spike_slab: bool,
     return sweep
 
 
-def make_log_likelihood(obs, N: int, B: int):
+def make_log_likelihood(obs, N: int, B: int, precision: str = "highest"):
+    from pyglm_tpu.models.weights import _PRECISIONS
+    prec = _PRECISIONS[precision]
+
     def log_likelihood(state: GLMState, data: GLMData):
         w_full = pack_weights(state.A, state.W, state.b)
-        psi = data.Xf @ w_full
+        psi = jnp.dot(data.Xf, w_full,
+                      preferred_element_type=jnp.float32, precision=prec)
         return jnp.sum(obs.log_likelihood(data.Y, psi, state.aux))
     return log_likelihood
 

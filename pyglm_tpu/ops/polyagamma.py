@@ -330,7 +330,10 @@ def pg_draw_unit(key, c, backend: str = "auto"):
     return pg_devroye(key, c)
 
 
-_NORMAL_CUTOFF = 64.0
+# Matches the reference's hybrid dispatch (pypolyagamma.pyx: normal approx
+# only for b >~ 170). The gamma-series path is valid for every b and its
+# cost is b-independent, so the higher cutoff buys accuracy for free.
+_NORMAL_CUTOFF = 170.0
 
 
 @partial(jax.jit, static_argnames=("method", "K"))
@@ -338,7 +341,7 @@ def polya_gamma(key, b, c, method: str = "auto", K: int = 32):
     """Hybrid PG(b, c) sampler — analog of ``pgdrawv``/``pgdrawvpar``.
 
     method:
-      "auto"    — gamma-series for b < 64, normal approx above, exact
+      "auto"    — gamma-series for b < 170, normal approx above, exact
                   Devroye where b == 1; zeros where b == 0 (masked data).
       "real"    — like auto but without the b == 1 Devroye overlay; use for
                   families whose b is generically non-integer (e.g. NB's
