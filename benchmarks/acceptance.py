@@ -1,10 +1,12 @@
-"""Acceptance harness: the five BASELINE.json configs, end-to-end.
+"""Acceptance harness + GATE: the five BASELINE.json configs, end-to-end.
 
 For each config: build a ground-truth model, simulate spikes, fit a fresh
 model by Gibbs, and report recovery quality (link AUC, weight correlation,
 held-out predictive LL vs the generating model) plus sweeps/sec. Writes one
-JSON report. Reference-posterior parity is blocked on the empty reference
-mount (SURVEY.md); ground-truth recovery is the operative parity check.
+JSON report and exits non-zero if any per-config threshold fails (full
+mode only; --quick runs chains too short to gate). Reference-posterior
+parity is blocked on the empty reference mount (SURVEY.md); ground-truth
+recovery is the operative parity check.
 
 Run: python benchmarks/acceptance.py [--quick] [--out report.json]
 """
@@ -17,6 +19,47 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+
+# Pass/fail contract (BASELINE.json north_star parity clause). Values set
+# from the measured round-1/round-2 runs minus a regression margin; a
+# failure means a conditional/sampler regression shipped, not MC noise.
+# Config 5's AUC threshold tracks the documented identifiability analysis
+# in BASELINE.md (VERDICT r1 task #3).
+THRESHOLDS = {
+    "1_bernoulli_dense": {
+        "weight_corr": (">=", 0.72), "pred_ll_gap_per_bin": ("<=", 0.005)},
+    "2_negative_binomial": {
+        "link_auc": (">=", 0.74), "weight_corr": (">=", 0.68),
+        "pred_ll_gap_per_bin": ("<=", 0.022)},
+    "3_spike_slab": {
+        "link_auc": (">=", 0.82), "weight_corr": (">=", 0.87),
+        "pred_ll_gap_per_bin": ("<=", 0.016)},
+    "4_sbm": {
+        "link_auc": (">=", 0.84), "weight_corr": (">=", 0.87),
+        "pred_ll_gap_per_bin": ("<=", 0.014)},
+    "5_latent_distance": {
+        "link_auc": (">=", 0.62), "pred_ll_gap_per_bin": ("<=", 0.046)},
+}
+
+
+def check_gates(results):
+    """Evaluate per-config thresholds. Returns (passed, failures)."""
+    failures = []
+    for res in results:
+        for prefix, gates in THRESHOLDS.items():
+            if not res["config"].startswith(prefix):
+                continue
+            for metric, (op, bound) in gates.items():
+                if metric not in res:
+                    failures.append(f"{res['config']}: metric {metric} missing")
+                    continue
+                v = res[metric]
+                ok = v >= bound if op == ">=" else v <= bound
+                if not ok:
+                    failures.append(
+                        f"{res['config']}: {metric}={v:.4f} violates "
+                        f"{op} {bound}")
+    return (not failures), failures
 
 
 def _metrics(model, true, Y_test, n_avg=30):
@@ -142,9 +185,25 @@ def main():
         results.append(run_config("5_latent_distance_single_chip", true,
                                   model, T, T // 10, n_burn, n_avg))
 
+    passed, failures = check_gates(results)
+    report = {"quick": q, "results": results,
+              "thresholds": {k: {m: list(g) for m, g in v.items()}
+                             for k, v in THRESHOLDS.items()},
+              "gate": {"evaluated": not q, "passed": passed,
+                       "failures": failures}}
     with open(args.out, "w") as f:
-        json.dump({"quick": q, "results": results}, f, indent=1)
+        json.dump(report, f, indent=1)
     print(f"wrote {args.out}")
+    if q:
+        print("gate: skipped (--quick chains are too short to judge)")
+        return
+    if passed:
+        print("gate: PASS")
+    else:
+        print("gate: FAIL")
+        for f_ in failures:
+            print("  " + f_)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -1,1 +1,1 @@
-from pyglm_tpu.diagnostics.geweke import geweke_chain, geweke_ks
+from pyglm_tpu.diagnostics.geweke import geweke_chain, ks_two_sample

@@ -73,17 +73,22 @@ def geweke_chain(key, obs, network, N: int, B: int, basis, T: int,
     return {k: np.asarray(v) for k, v in series.items()}
 
 
-def geweke_ks(samples, prior_cdf_samples, n_thin: int = 10):
-    """Two-sample KS statistic between thinned chain samples and iid prior
-    draws. Returns (ks, threshold_at_1e-3) using the thinned count as the
-    effective sample size (conservative only if thinning clears the chain's
-    autocorrelation time)."""
-    s = np.sort(np.asarray(samples)[::n_thin].ravel())
-    p = np.sort(np.asarray(prior_cdf_samples).ravel())
+def ks_two_sample(samples, reference, thin: int = 1):
+    """Two-sample KS statistic between (optionally thinned) samples and a
+    reference sample. Returns (ks, threshold) at alpha ~ 1e-4
+    (c(alpha) ~ 1.95), using the thinned count as the effective sample size
+    — conservative only if thinning clears the chain's autocorrelation time
+    (for iid samplers use thin=1).
+
+    Used by the PG sampler exactness tests (gamma-series vs the native
+    exact-convolution oracle) and the Geweke prior-marginal KS checks.
+    """
+    s = np.sort(np.asarray(samples, np.float64)[::thin].ravel())
+    p = np.sort(np.asarray(reference, np.float64).ravel())
     grid = np.concatenate([s, p])
     cdf_s = np.searchsorted(s, grid, side="right") / len(s)
     cdf_p = np.searchsorted(p, grid, side="right") / len(p)
-    ks = np.max(np.abs(cdf_s - cdf_p))
+    ks = float(np.max(np.abs(cdf_s - cdf_p)))
     n_eff = len(s) * len(p) / (len(s) + len(p))
-    thresh = 1.95 / np.sqrt(n_eff)   # alpha ~ 1e-3
+    thresh = 1.95 / np.sqrt(n_eff)
     return ks, thresh

@@ -20,17 +20,43 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+import numpy as np
+
 from pyglm_tpu.models.weights import EdgeHypers
 from pyglm_tpu.ops.linalg import (
     NIWParams, niw_posterior, sample_niw,
 )
-from pyglm_tpu.utils.utils import logit
+from pyglm_tpu.utils.utils import expand_cov, expand_scalar, logit
 
 
 def _bias_hypers(cfg, N):
-    mu_b = jnp.full((N,), cfg.mu_bias, jnp.float32)
-    lam_b = jnp.full((N,), 1.0 / cfg.sigma_bias ** 2, jnp.float32)
-    return mu_b, lam_b
+    """Bias prior hypers; mu_bias / sigma_bias may be scalar or (N,) —
+    the reference accepts scalar OR fully-specified hyperparameters
+    (pyglm/utils/utils.py expand_scalar convention)."""
+    mu_b = jnp.asarray(expand_scalar(cfg.mu_bias, (N,)))
+    sig_b = jnp.asarray(expand_scalar(cfg.sigma_bias, (N,)))
+    return mu_b, 1.0 / sig_b ** 2
+
+
+def _is_scalar(x) -> bool:
+    return np.ndim(x) == 0
+
+
+def _fixed_weight_hypers(cfg):
+    """Per-edge (mu, Lam) from config when the weight prior is FIXED
+    (learn_weight_prior=False): mu_w may be scalar | (B,) | (N,N,B);
+    sigma_w (a variance) may be scalar | (B,) diag | (B,B) | (N,N,B,B)."""
+    N, B = cfg.N, cfg.B
+    mu = jnp.asarray(expand_scalar(getattr(cfg, "mu_w", 0.0), (N, N, B)))
+    Sig = jnp.asarray(expand_cov(cfg.sigma_w, (N, N, B, B)))
+    return mu, jnp.linalg.inv(Sig)
+
+
+def _sigma_w_scalar(cfg) -> float:
+    """Scalar summary of sigma_w for state initialization (exact when
+    sigma_w is scalar; learned priors overwrite it after one sweep)."""
+    s = np.asarray(cfg.sigma_w, np.float32)
+    return float(s.mean())
 
 
 def _niw_params(cfg) -> NIWParams:
@@ -71,35 +97,49 @@ class GaussianWeightsState(NamedTuple):
 
 @dataclass(frozen=True)
 class DenseNetworkConfig:
-    """All edges present (rho=1); shared NIW-learned Gaussian weight prior.
+    """All edges present (rho=1); shared NIW-learned Gaussian weight prior,
+    or a FIXED (optionally per-edge) Gaussian prior when
+    learn_weight_prior=False — mu_w / sigma_w / mu_bias / sigma_bias each
+    accept scalar or fully-specified arrays (reference convention).
 
     Reference analog: pyglm/networks.py dense Gaussian network w/ NIW.
     """
     N: int
     B: int
-    mu_bias: float = -2.0
-    sigma_bias: float = 1.0
+    mu_bias: object = -2.0       # scalar | (N,)
+    sigma_bias: object = 1.0     # scalar | (N,)
     learn_weight_prior: bool = True
     niw_mu0: float = 0.0
     niw_kappa0: float = 1.0
     niw_nu0: float | None = None
     niw_psi0: float = 1.0
-    sigma_w: float = 1.0         # fixed prior scale when not learning
+    mu_w: object = 0.0           # scalar | (B,) | (N,N,B); fixed prior only
+    sigma_w: object = 1.0        # scalar | (B,) | (B,B) | (N,N,B,B) variance
     name: str = "dense"
+
+    def __post_init__(self):
+        if self.learn_weight_prior and not (
+                _is_scalar(self.sigma_w) and _is_scalar(self.mu_w)):
+            raise ValueError(
+                "per-edge mu_w/sigma_w require learn_weight_prior=False "
+                "(the learned prior is shared across edges)")
 
     def init_state(self, key) -> GaussianWeightsState:
         B = self.B
         return GaussianWeightsState(
             mu=jnp.zeros((B,), jnp.float32),
-            Sigma=jnp.eye(B, dtype=jnp.float32) * self.sigma_w,
+            Sigma=jnp.eye(B, dtype=jnp.float32) * _sigma_w_scalar(self),
             rho=jnp.asarray(1.0, jnp.float32),
         )
 
     def edge_hypers(self, state: GaussianWeightsState) -> EdgeHypers:
         N, B = self.N, self.B
-        Lam = jnp.linalg.inv(state.Sigma)
-        mu = jnp.broadcast_to(state.mu, (N, N, B))
-        Lam = jnp.broadcast_to(Lam, (N, N, B, B))
+        if self.learn_weight_prior:
+            Lam = jnp.linalg.inv(state.Sigma)
+            mu = jnp.broadcast_to(state.mu, (N, N, B))
+            Lam = jnp.broadcast_to(Lam, (N, N, B, B))
+        else:
+            mu, Lam = _fixed_weight_hypers(self)
         # rho == 1: logit clipped to keep spike-slab numerics finite if a
         # sparse resampler is (mis)configured on a dense prior.
         lrho = jnp.full((N, N), 20.0, jnp.float32)
@@ -124,32 +164,49 @@ class ErdosRenyiConfig:
     B: int
     a_rho: float = 1.0
     b_rho: float = 1.0
-    rho_init: float = 0.25
+    rho_init: object = 0.25      # scalar | (N,N) per-edge (learn_rho=False)
     learn_rho: bool = True
-    mu_bias: float = -2.0
-    sigma_bias: float = 1.0
+    mu_bias: object = -2.0       # scalar | (N,)
+    sigma_bias: object = 1.0     # scalar | (N,)
     learn_weight_prior: bool = True
     niw_mu0: float = 0.0
     niw_kappa0: float = 1.0
     niw_nu0: float | None = None
     niw_psi0: float = 1.0
-    sigma_w: float = 1.0
+    mu_w: object = 0.0           # scalar | (B,) | (N,N,B); fixed prior only
+    sigma_w: object = 1.0        # scalar | (B,) | (B,B) | (N,N,B,B) variance
     name: str = "erdos_renyi"
+
+    def __post_init__(self):
+        if self.learn_rho and not _is_scalar(self.rho_init):
+            raise ValueError(
+                "per-edge rho_init requires learn_rho=False (the learned "
+                "rho is a single shared Beta-posterior draw)")
+        if self.learn_weight_prior and not (
+                _is_scalar(self.sigma_w) and _is_scalar(self.mu_w)):
+            raise ValueError(
+                "per-edge mu_w/sigma_w require learn_weight_prior=False")
 
     def init_state(self, key) -> GaussianWeightsState:
         return GaussianWeightsState(
             mu=jnp.zeros((self.B,), jnp.float32),
-            Sigma=jnp.eye(self.B, dtype=jnp.float32) * self.sigma_w,
-            rho=jnp.asarray(self.rho_init, jnp.float32),
+            Sigma=jnp.eye(self.B, dtype=jnp.float32) * _sigma_w_scalar(self),
+            rho=jnp.asarray(np.mean(self.rho_init), jnp.float32),
         )
 
     def edge_hypers(self, state: GaussianWeightsState) -> EdgeHypers:
         N, B = self.N, self.B
-        Lam = jnp.linalg.inv(state.Sigma)
-        mu = jnp.broadcast_to(state.mu, (N, N, B))
-        Lam = jnp.broadcast_to(Lam, (N, N, B, B))
-        lrho = jnp.full((N, N), 1.0, jnp.float32) * logit(
-            jnp.clip(state.rho, 1e-5, 1.0 - 1e-5))
+        if self.learn_weight_prior:
+            Lam = jnp.linalg.inv(state.Sigma)
+            mu = jnp.broadcast_to(state.mu, (N, N, B))
+            Lam = jnp.broadcast_to(Lam, (N, N, B, B))
+        else:
+            mu, Lam = _fixed_weight_hypers(self)
+        if self.learn_rho:
+            rho = jnp.broadcast_to(state.rho, (N, N))
+        else:
+            rho = jnp.asarray(expand_scalar(self.rho_init, (N, N)))
+        lrho = logit(jnp.clip(rho, 1e-5, 1.0 - 1e-5))
         mu_b, lam_b = _bias_hypers(self, N)
         return EdgeHypers(mu, Lam, lrho, mu_b, lam_b)
 
@@ -330,15 +387,22 @@ class LatentDistanceConfig:
     hmc_steps: int = 20
     hmc_iters: int = 5          # HMC trajectories per Gibbs sweep (cheap:
                                 # each costs O(N^2) vs the sweep's O(N^2 T B))
-    mu_bias: float = -2.0
-    sigma_bias: float = 1.0
+    mu_bias: object = -2.0       # scalar | (N,)
+    sigma_bias: object = 1.0     # scalar | (N,)
     learn_weight_prior: bool = True
     niw_mu0: float = 0.0
     niw_kappa0: float = 1.0
     niw_nu0: float | None = None
     niw_psi0: float = 1.0
-    sigma_w: float = 1.0
+    mu_w: object = 0.0           # scalar | (B,) | (N,N,B); fixed prior only
+    sigma_w: object = 1.0        # scalar | (B,) | (B,B) | (N,N,B,B) variance
     name: str = "latent_distance"
+
+    def __post_init__(self):
+        if self.learn_weight_prior and not (
+                _is_scalar(self.sigma_w) and _is_scalar(self.mu_w)):
+            raise ValueError(
+                "per-edge mu_w/sigma_w require learn_weight_prior=False")
 
     def init_state(self, key) -> LatentDistanceState:
         L = self.sigma_l * jax.random.normal(key, (self.N, self.dim))
@@ -346,7 +410,7 @@ class LatentDistanceConfig:
             L=L.astype(jnp.float32),
             gamma=jnp.asarray(self.gamma_init, jnp.float32),
             mu=jnp.zeros((self.B,), jnp.float32),
-            Sigma=jnp.eye(self.B, dtype=jnp.float32) * self.sigma_w,
+            Sigma=jnp.eye(self.B, dtype=jnp.float32) * _sigma_w_scalar(self),
         )
 
     def _logit_rho(self, L, gamma):
@@ -355,9 +419,12 @@ class LatentDistanceConfig:
 
     def edge_hypers(self, state: LatentDistanceState) -> EdgeHypers:
         N, B = self.N, self.B
-        Lam = jnp.linalg.inv(state.Sigma)
-        mu = jnp.broadcast_to(state.mu, (N, N, B))
-        Lam = jnp.broadcast_to(Lam, (N, N, B, B))
+        if self.learn_weight_prior:
+            Lam = jnp.linalg.inv(state.Sigma)
+            mu = jnp.broadcast_to(state.mu, (N, N, B))
+            Lam = jnp.broadcast_to(Lam, (N, N, B, B))
+        else:
+            mu, Lam = _fixed_weight_hypers(self)
         lrho = jnp.clip(self._logit_rho(state.L, state.gamma), -15.0, 15.0)
         mu_b, lam_b = _bias_hypers(self, N)
         return EdgeHypers(mu, Lam, lrho, mu_b, lam_b)

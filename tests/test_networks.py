@@ -122,3 +122,86 @@ def test_sbm_label_conditional_three_blocks():
     se = np.sqrt(p_exact * (1 - p_exact) / M)
     np.testing.assert_array_less(
         np.abs(freq - p_exact), 4 * se + 1e-3, err_msg=f"{freq} {p_exact}")
+
+
+# ---------------------------------------------------------------------------
+# Per-edge hyperparameter injection (VERDICT r1 #7): scalar-or-array
+# (rho, mu_w, sigma_w, bias hypers) accepted by the network configs.
+# ---------------------------------------------------------------------------
+
+from pyglm_tpu.models.networks import ErdosRenyiConfig, DenseNetworkConfig
+from pyglm_tpu.models.observations import Bernoulli
+from pyglm_tpu.models.sweep import init_state_from_prior
+from pyglm_tpu.utils.utils import logit
+
+
+def test_per_edge_rho_injection():
+    """A planted (N, N) rho matrix must reach EdgeHypers and drive both the
+    prior draw of A and the spike-and-slab conditional."""
+    N, B = 6, 1
+    R = np.full((N, N), 0.05, np.float32)
+    R[:3, :3] = 0.9
+    cfg = ErdosRenyiConfig(N=N, B=B, rho_init=R, learn_rho=False,
+                           learn_weight_prior=False, sigma_w=0.5)
+    state = cfg.init_state(jax.random.key(0))
+    lrho = np.asarray(cfg.edge_hypers(state).logit_rho)
+    np.testing.assert_allclose(lrho, np.asarray(logit(jnp.asarray(R))),
+                               rtol=1e-5)
+    # prior draws follow the per-edge probabilities
+    obs = Bernoulli()
+    draw = jax.jit(jax.vmap(lambda k: init_state_from_prior(
+        k, obs, cfg, N, B, True).A))
+    A = np.asarray(draw(jax.random.split(jax.random.key(1), 800)))
+    freq = A.mean(axis=0)
+    assert abs(freq[:3, :3].mean() - 0.9) < 0.05, freq[:3, :3].mean()
+    assert abs(freq[3:, 3:].mean() - 0.05) < 0.03, freq[3:, 3:].mean()
+
+
+def test_per_edge_rho_through_model_posterior():
+    """End-to-end: with weak data, the posterior edge marginals follow the
+    planted per-edge prior — verifies logit_rho threads into the collapsed
+    spike-and-slab odds."""
+    import pyglm_tpu as pt
+    N, B = 6, 1
+    R = np.full((N, N), 0.02, np.float32)
+    R[:3, :3] = 0.95
+    m = pt.GLM(N, B=B, L=3, observation="bernoulli", network="erdos_renyi",
+               spike_and_slab=True, seed=0,
+               net_kwargs=dict(rho_init=R, learn_rho=False,
+                               learn_weight_prior=False, sigma_w=0.25))
+    Y = (np.random.RandomState(0).rand(40, N) < 0.2).astype(np.float32)
+    m.add_data(Y)
+    s = m.fit_compiled(n_samples=300, n_burnin=50)
+    freq = s["A"].mean(axis=0)
+    assert freq[:3, :3].mean() > 0.75, freq[:3, :3].mean()
+    assert freq[3:, 3:].mean() < 0.25, freq[3:, 3:].mean()
+
+
+def test_per_edge_mu_w_and_bias_injection():
+    """Planted per-edge weight-prior means and per-neuron bias hypers show
+    up in prior samples."""
+    N, B = 5, 2
+    mu_w = np.zeros((N, N, B), np.float32)
+    mu_w[:, :2, :] = 2.0
+    mu_w[:, 2:, :] = -1.0
+    mu_bias = np.linspace(-3.0, 1.0, N).astype(np.float32)
+    cfg = DenseNetworkConfig(N=N, B=B, learn_weight_prior=False,
+                             mu_w=mu_w, sigma_w=0.01,
+                             mu_bias=mu_bias, sigma_bias=0.01)
+    obs = Bernoulli()
+    draw = jax.jit(jax.vmap(lambda k: init_state_from_prior(
+        k, obs, cfg, N, B, False)))
+    st = draw(jax.random.split(jax.random.key(2), 400))
+    W_mean = np.asarray(st.W).mean(axis=0)
+    np.testing.assert_allclose(W_mean, mu_w, atol=0.05)
+    np.testing.assert_allclose(np.asarray(st.b).mean(axis=0), mu_bias,
+                               atol=0.05)
+
+
+def test_per_edge_validation_errors():
+    with pytest.raises(ValueError):
+        ErdosRenyiConfig(N=4, B=1, rho_init=np.full((4, 4), 0.5),
+                         learn_rho=True)
+    with pytest.raises(ValueError):
+        DenseNetworkConfig(N=4, B=1, sigma_w=np.ones((4, 4, 1, 1)),
+                           learn_weight_prior=True)
