@@ -369,6 +369,7 @@ class LatentDistanceState(NamedTuple):
     gamma: jax.Array    # () connection-probability offset
     mu: jax.Array       # (B,) shared weight prior mean
     Sigma: jax.Array    # (B, B)
+    hmc_accept: jax.Array = jnp.asarray(0.0, jnp.float32)  # last-sweep rate
 
 
 @dataclass(frozen=True)
@@ -383,9 +384,14 @@ class LatentDistanceConfig:
     sigma_l: float = 1.0
     sigma_gamma: float = 2.0
     gamma_init: float = 0.0
-    hmc_eps: float = 0.01
-    hmc_steps: int = 20
-    hmc_iters: int = 5          # HMC trajectories per Gibbs sweep (cheap:
+    # HMC step size must shrink with N (the potential's curvature grows
+    # ~N with the number of edge terms per position; leapfrog stability
+    # needs eps ~ 1/sqrt(N)). None -> 0.15/sqrt(N), which measured ~0.9
+    # acceptance at N=500 where the old fixed 0.01 accepted 0.2% of
+    # trajectories and froze the positions (round-2 config-5 analysis).
+    hmc_eps: float | None = None
+    hmc_steps: int = 50
+    hmc_iters: int = 10         # HMC trajectories per Gibbs sweep (cheap:
                                 # each costs O(N^2) vs the sweep's O(N^2 T B))
     mu_bias: object = -2.0       # scalar | (N,)
     sigma_bias: object = 1.0     # scalar | (N,)
@@ -442,7 +448,8 @@ class LatentDistanceConfig:
             return -(ll + lp)
 
         grad_fn = jax.grad(potential)
-        eps = self.hmc_eps
+        eps = (self.hmc_eps if self.hmc_eps is not None
+               else 0.15 / float(np.sqrt(self.N)))
 
         def kinetic(m):
             return 0.5 * sum(jnp.sum(x ** 2) for x in jax.tree.leaves(m))
@@ -467,9 +474,9 @@ class LatentDistanceConfig:
             accept = jnp.log(jax.random.uniform(k_a, ())) < log_alpha
             return jax.tree.map(
                 lambda new, old: jnp.where(accept, new, old),
-                params_new, params), None
+                params_new, params), accept.astype(jnp.float32)
 
-        params, _ = lax.scan(
+        params, accepts = lax.scan(
             one_trajectory, (state.L, state.gamma),
             jax.random.split(jax.random.fold_in(k_hmc, 0), self.hmc_iters))
         L, gamma = params
@@ -477,7 +484,8 @@ class LatentDistanceConfig:
         mu, Sigma = state.mu, state.Sigma
         if self.learn_weight_prior:
             mu, Sigma = _masked_niw_resample(k_niw, self, W, A)
-        return LatentDistanceState(L, gamma, mu, Sigma)
+        return LatentDistanceState(L, gamma, mu, Sigma,
+                                   jnp.mean(accepts))
 
 
 NetworkConfig = (DenseNetworkConfig | ErdosRenyiConfig | SBMConfig

@@ -119,6 +119,8 @@ def make_gibbs_sweep(obs, network, N: int, B: int, spike_slab: bool,
 
         ll = jnp.sum(obs.log_likelihood(Y_cat, psi_cat, aux))
         diag = {"log_likelihood": ll, "n_edges": jnp.sum(A)}
+        if hasattr(net, "hmc_accept"):
+            diag["hmc_accept"] = net.hmc_accept
         return GLMState(A, W, b, aux, net), diag
 
     return sweep

@@ -69,6 +69,8 @@ def make_sharded_sweep(sweep_fn, mesh: Mesh, state: GLMState, datas: tuple):
     """
     key_sh, state_sh, data_sh = glm_shardings(mesh, state, datas)
     diag_sh = {"log_likelihood": key_sh, "n_edges": key_sh}
+    if hasattr(state.net, "hmc_accept"):
+        diag_sh["hmc_accept"] = key_sh
     fn = jax.jit(
         sweep_fn,
         in_shardings=(key_sh, state_sh, data_sh),

@@ -6,6 +6,7 @@ from pyglm_tpu.models.bayesian import Gaussian, Regression
 from pyglm_tpu.models.abstractions import GibbsSampling, ModelGibbsSampling
 
 
+@pytest.mark.slow
 def test_gaussian_posterior_concentrates():
     rng = np.random.RandomState(0)
     X = rng.randn(2000, 2) * [0.5, 2.0] + [1.0, -3.0]
@@ -65,6 +66,7 @@ def test_regression_recovers_linear_map():
     assert np.all(np.isfinite(ll)) and ll.shape == (3,)
 
 
+@pytest.mark.slow
 def test_abstractions_contract():
     assert isinstance(Gaussian(D=2), GibbsSampling)
     import pyglm_tpu as pt
@@ -74,6 +76,7 @@ def test_abstractions_contract():
         assert callable(getattr(m, name))
 
 
+@pytest.mark.slow
 def test_diagonal_regression():
     from pyglm_tpu.models.bayesian import DiagonalRegression
     rng = np.random.RandomState(3)

@@ -7,6 +7,7 @@ from pyglm_tpu.utils.checkpoint import save_state, load_state
 from pyglm_tpu.utils.metrics import link_auc, predictive_log_likelihood, bits_per_spike
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     m = pt.SparseBernoulliGLM(5, B=2, L=4, seed=0)
     m.generate(300, keep=True)
@@ -38,6 +39,7 @@ def test_link_auc():
                         np.random.RandomState(1).rand(50, 50) < 0.3) - 0.5) < 0.05
 
 
+@pytest.mark.slow
 def test_predictive_ll_and_bits_per_spike():
     true = pt.SparseBernoulliGLM(4, B=2, L=4, seed=1,
                                  net_kwargs=dict(rho_init=0.4, sigma_w=1.5,

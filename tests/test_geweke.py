@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # 3000-iter chains; quick lane: test_geweke_smoke.py
+
 from pyglm_tpu.ops.basis import cosine_basis
 from pyglm_tpu.models.observations import Bernoulli, Gaussian
 from pyglm_tpu.models.networks import ErdosRenyiConfig, DenseNetworkConfig

@@ -46,6 +46,7 @@ def test_generate_rate_reflects_bias():
     assert 0.005 < rate < 0.06, rate   # logistic(-4) ~ 0.018
 
 
+@pytest.mark.slow
 def test_bernoulli_sparse_recovery():
     """Generate from a planted sparse model; Gibbs must recover the links
     (AUC) and weights (correlation) — the reference's demo-driven check."""
@@ -82,6 +83,7 @@ def test_bernoulli_sparse_recovery():
     assert corr > 0.6, f"weight corr {corr:.3f}"
 
 
+@pytest.mark.slow
 def test_gaussian_dense_recovery():
     N, B, L, T = 5, 2, 4, 4000
     # Small planted weights keep the linear AR dynamics stable
@@ -108,6 +110,7 @@ def test_gaussian_dense_recovery():
     assert np.all(eta < 4 * eta_true) and np.all(eta > eta_true / 4)
 
 
+@pytest.mark.slow
 def test_nb_model_runs_and_r_sane():
     m = pt.NegativeBinomialGLM(4, B=2, L=4, seed=3,
                                obs_kwargs=dict(max_y=64, r_init=3.0))
@@ -120,6 +123,7 @@ def test_nb_model_runs_and_r_sane():
     assert np.all(r > 0.01) and np.all(r < 100)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("network", ["sbm", "latent_distance"])
 def test_structured_networks_run(network):
     m = pt.NonlinearAutoregressiveModel(
@@ -136,6 +140,7 @@ def test_structured_networks_run(network):
         assert m.state.net.L.shape == (6, 2)
 
 
+@pytest.mark.slow
 def test_sbm_label_recovery():
     """Two clearly separated blocks: dense within block 0, empty elsewhere."""
     N, K = 10, 2
@@ -177,6 +182,7 @@ def test_fit_returns_samples():
     assert np.all(np.isfinite(out["lls"]))
 
 
+@pytest.mark.slow
 def test_forecast():
     m = pt.SparseBernoulliGLM(5, B=2, L=4, seed=0)
     m.generate(400, keep=True)
@@ -227,6 +233,7 @@ def test_gaussian_cached_gram_exact():
     assert abs(d1["log_likelihood"] - d2["log_likelihood"]) < 0.5, (d1, d2)
 
 
+@pytest.mark.slow
 def test_fit_compiled_matches_fit_statistically():
     true = pt.SparseBernoulliGLM(
         6, B=2, L=4, seed=9,

@@ -92,6 +92,7 @@ def test_sbm_label_conditional_matches_enumeration():
             x, freq, p_exact)
 
 
+@pytest.mark.slow
 def test_sbm_label_conditional_three_blocks():
     """Same check at K=3 with an asymmetric state (exercises the in/out
     table transposes for off-diagonal block pairs)."""
@@ -157,6 +158,7 @@ def test_per_edge_rho_injection():
     assert abs(freq[3:, 3:].mean() - 0.05) < 0.03, freq[3:, 3:].mean()
 
 
+@pytest.mark.slow
 def test_per_edge_rho_through_model_posterior():
     """End-to-end: with weak data, the posterior edge marginals follow the
     planted per-edge prior — verifies logit_rho threads into the collapsed

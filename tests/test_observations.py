@@ -56,6 +56,7 @@ def test_nb_pg_b_and_kappa():
     assert np.all(np.asarray(omega) > 0)
 
 
+@pytest.mark.slow
 def test_nb_r_resample_concentrates():
     """With lots of data at psi=0, resampled r should be near mean counts."""
     fam = NegativeBinomial(r_init=4.0, max_y=128)

@@ -1,6 +1,7 @@
 """Standalone PG regression tests (pypolyagamma.distributions parity)."""
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from pyglm_tpu.models.regressions import (
@@ -18,6 +19,7 @@ def _fit(reg, X, y, n=60):
     return lls
 
 
+@pytest.mark.slow
 def test_bernoulli_regression_recovers_weights():
     rng = np.random.RandomState(0)
     T, D = 4000, 3
@@ -34,6 +36,7 @@ def test_bernoulli_regression_recovers_weights():
     np.testing.assert_allclose(A_avg, A_true, atol=0.3)
 
 
+@pytest.mark.slow
 def test_binomial_regression_runs():
     rng = np.random.RandomState(1)
     X = rng.randn(800, 2).astype(np.float32)
@@ -45,6 +48,7 @@ def test_binomial_regression_runs():
     assert lls[-1] > lls[0]
 
 
+@pytest.mark.slow
 def test_nb_regression_r_recovery():
     rng = np.random.RandomState(2)
     X = np.zeros((4000, 1), np.float32)
@@ -63,6 +67,7 @@ def test_nb_regression_r_recovery():
     assert 1.0 < reg.r[0] < 40.0
 
 
+@pytest.mark.slow
 def test_multinomial_regression():
     rng = np.random.RandomState(3)
     T, D, K = 3000, 2, 4
@@ -78,6 +83,7 @@ def test_multinomial_regression():
     np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pypolyagamma_compat_surface():
     ppg = PyPolyaGamma(seed=42)
     x = ppg.pgdraw(1.0, 0.5)

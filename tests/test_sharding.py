@@ -64,6 +64,7 @@ def test_sharded_matches_single_device_stats():
 
 
 @requires_8
+@pytest.mark.slow
 def test_sharded_chain_statistically_consistent():
     """A sharded chain must mix to the same posterior as the single-device
     chain (same data, different RNG partitioning): compare posterior mean
