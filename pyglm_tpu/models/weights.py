@@ -269,8 +269,30 @@ def _use_pallas_gram() -> bool:
     import os
     if os.environ.get("PYGLM_PG_BACKEND") == "xla":
         return False
-    devs = jax.devices()
-    return devs[0].platform == "tpu" and len(devs) == 1
+    return jax.devices()[0].platform == "tpu"
+
+
+def _gram_shard_map(Xf, omega, B, G, t_chunk, precision, mesh, use_pallas):
+    """Group Gram blocks under a ('time','neuron') mesh via jax.shard_map:
+    each device forms its local time-slice Gram (Pallas kernel on TPU
+    shards, the XLA scan elsewhere) and the time axis psums — the stats
+    are associative sums over t (SURVEY.md §2.4 seq-parallel row)."""
+    from jax.sharding import PartitionSpec as P
+
+    def fn(xf, om):
+        if use_pallas:
+            from pyglm_tpu.ops.gram_pallas import group_gram_blocks_pallas
+            Jl = group_gram_blocks_pallas(xf, om, B, G, t_chunk=t_chunk,
+                                          fast=True)
+        else:
+            Jl = group_gram_blocks(xf, om, B, G, t_chunk=t_chunk,
+                                   precision=precision)
+        return lax.psum(Jl, "time")
+
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("time", None), P("time", "neuron")),
+        out_specs=P(None, "neuron", None, None), check_vma=False)(Xf, omega)
 
 
 def _auto_group(N_pre: int, B: int = 4) -> int:
@@ -319,7 +341,16 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
     GB = G * B
 
     if Jg is None:
-        if _use_pallas_gram() and GB % 8 == 0 and precision == "default":
+        pallas_ok = (_use_pallas_gram() and GB % 8 == 0
+                     and precision == "default")
+        from pyglm_tpu.parallel.sharding import active_mesh
+        mesh = active_mesh()
+        if (mesh is not None and mesh.devices.size > 1
+                and T % mesh.shape.get("time", 1) == 0
+                and N % mesh.shape.get("neuron", 1) == 0):
+            Jg = _gram_shard_map(Xf, omega, B, G, t_chunk, precision,
+                                 mesh, pallas_ok)
+        elif pallas_ok and len(jax.devices()) == 1:
             # Opt-in speed mode: single-bf16-pass fused Gram kernel.
             from pyglm_tpu.ops.gram_pallas import group_gram_blocks_pallas
             Jg = group_gram_blocks_pallas(Xf, omega, B, G, t_chunk=t_chunk,

@@ -308,25 +308,65 @@ def pg_normal_approx(key, b, c):
     return jnp.maximum(x, 1e-30)
 
 
+def _mesh_shardable(c, mesh) -> bool:
+    return (c.ndim == 2
+            and c.shape[0] % mesh.shape.get("time", 1) == 0
+            and c.shape[1] % mesh.shape.get("neuron", 1) == 0)
+
+
+def _shard_map_elementwise(draw_fn, key, mesh, *arrs):
+    """Run an elementwise sampler per mesh shard via jax.shard_map.
+
+    A pallas_call inside a GSPMD-partitioned jit does not shard, so under a
+    mesh each device runs the kernel on its local (time, neuron) tile with
+    a per-shard fold of the key (SURVEY.md §2.4 comm row).
+    """
+    from jax.sharding import PartitionSpec as P
+    n_neuron = mesh.shape.get("neuron", 1)
+
+    def fn(k, *local):
+        idx = (lax.axis_index("time") * n_neuron + lax.axis_index("neuron"))
+        return draw_fn(jax.random.fold_in(k, idx), *local)
+
+    spec = P("time", "neuron")
+    # check_vma=False: the samplers' masked while_loops mix replicated
+    # (key-derived) and shard-varying carries, which the vma analysis
+    # rejects; there are no collectives inside, so the check buys nothing.
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(),) + (spec,) * len(arrs),
+        out_specs=spec, check_vma=False)(key, *arrs)
+
+
 def pg_draw_unit(key, c, backend: str = "auto"):
     """PG(1, c) with automatic backend dispatch.
 
-    "auto": the fused Pallas fast-pass + exact continuation on a single TPU
-    chip; the pure-XLA masked-while sampler on CPU or under multi-device
-    GSPMD (a pallas_call inside a partitioned jit would not shard).
-    Override with PYGLM_PG_BACKEND=xla|pallas.
+    "auto": the fused Pallas fast-pass + exact continuation on TPU — under
+    a multi-device mesh (parallel.sharding.active_mesh) the kernel runs
+    per-shard inside jax.shard_map; the pure-XLA masked-while sampler on
+    CPU (also per-shard under a CPU mesh, which is how the sharding tests
+    exercise the wrapper). Override with PYGLM_PG_BACKEND=xla|pallas.
     """
     import os
     env = os.environ.get("PYGLM_PG_BACKEND")
     if env:
         backend = env
+    devs = jax.devices()
+    on_tpu = devs[0].platform == "tpu"
     if backend == "auto":
-        devs = jax.devices()
-        backend = ("pallas" if devs[0].platform == "tpu" and len(devs) == 1
-                   else "xla")
-    if backend == "pallas":
+        backend = "pallas" if on_tpu else "xla"
+    from pyglm_tpu.parallel.sharding import active_mesh
+    mesh = active_mesh()
+    use_pallas = backend == "pallas" and on_tpu
+    if (mesh is not None and mesh.devices.size > 1
+            and _mesh_shardable(c, mesh)):
+        if use_pallas:
+            from pyglm_tpu.ops.pg_pallas import pg_devroye_pallas
+            return _shard_map_elementwise(pg_devroye_pallas, key, mesh, c)
+        return _shard_map_elementwise(pg_devroye, key, mesh, c)
+    if use_pallas and len(devs) == 1:
         from pyglm_tpu.ops.pg_pallas import pg_devroye_pallas
         return pg_devroye_pallas(key, c)
+    # Multi-device without a mesh context: GSPMD shards the XLA sampler.
     return pg_devroye(key, c)
 
 
@@ -375,14 +415,26 @@ def polya_gamma(key, b, c, method: str = "auto", K: int = 32):
 
 
 def _gamma_series_dispatch(key, b, c, K):
-    """Fused Pallas gamma-series on a single TPU (kernel fixed at K=32),
-    pure-XLA otherwise. Same override env var as pg_draw_unit."""
+    """Fused Pallas gamma-series on TPU (kernel fixed at K=32) — per-shard
+    inside jax.shard_map under a multi-device mesh — pure-XLA otherwise.
+    Same override env var as pg_draw_unit."""
     import os
     env = os.environ.get("PYGLM_PG_BACKEND")
     devs = jax.devices()
-    use_pallas = (env != "xla" and K == 32
-                  and devs[0].platform == "tpu" and len(devs) == 1)
-    if use_pallas:
+    use_pallas = (env != "xla" and K == 32 and devs[0].platform == "tpu")
+    from pyglm_tpu.parallel.sharding import active_mesh
+    mesh = active_mesh()
+    if (mesh is not None and mesh.devices.size > 1
+            and _mesh_shardable(c, mesh) and _mesh_shardable(b, mesh)):
+        if use_pallas:
+            from pyglm_tpu.ops.pg_pallas import pg_gamma_series_pallas
+            return _shard_map_elementwise(
+                lambda k, bb, cc: pg_gamma_series_pallas(k, bb, cc, K=K),
+                key, mesh, b, c)
+        return _shard_map_elementwise(
+            lambda k, bb, cc: pg_gamma_series(k, bb, cc, K=K),
+            key, mesh, b, c)
+    if use_pallas and len(devs) == 1:
         from pyglm_tpu.ops.pg_pallas import pg_gamma_series_pallas
         return pg_gamma_series_pallas(key, b, c, K=K)
     return pg_gamma_series(key, b, c, K=K)

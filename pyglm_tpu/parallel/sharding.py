@@ -23,6 +23,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pyglm_tpu.models.sweep import GLMData, GLMState
 
 
+# --- active-mesh context -----------------------------------------------------
+# Pallas kernels cannot ride GSPMD (a pallas_call inside a partitioned jit
+# does not shard), so the kernel call sites (ops/polyagamma.py,
+# models/weights.py) consult the active mesh at trace time and wrap their
+# kernels in jax.shard_map over it — Pallas per shard on TPU, the XLA
+# fallback per shard elsewhere (how the CPU-mesh tests exercise the wrapper).
+_ACTIVE_MESH: Mesh | None = None
+
+
+def set_active_mesh(mesh: Mesh | None) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH
+
+
 def make_mesh(n_time: int = 1, n_neuron: int | None = None, devices=None) -> Mesh:
     """Create a ('time', 'neuron') mesh. Defaults to all devices on the
     neuron axis (the embarrassingly-parallel one)."""
@@ -71,8 +89,18 @@ def make_sharded_sweep(sweep_fn, mesh: Mesh, state: GLMState, datas: tuple):
     diag_sh = {"log_likelihood": key_sh, "n_edges": key_sh}
     if hasattr(state.net, "hmc_accept"):
         diag_sh["hmc_accept"] = key_sh
+    def sweep_in_mesh(*args):
+        # Scoped trace-time context: the kernel dispatchers consult the
+        # active mesh while the sweep traces (incl. retraces on new shapes).
+        prev = active_mesh()
+        set_active_mesh(mesh)
+        try:
+            return sweep_fn(*args)
+        finally:
+            set_active_mesh(prev)
+
     fn = jax.jit(
-        sweep_fn,
+        sweep_in_mesh,
         in_shardings=(key_sh, state_sh, data_sh),
         out_shardings=(state_sh, diag_sh),
     )

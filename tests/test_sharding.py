@@ -89,3 +89,66 @@ def test_sharded_chain_statistically_consistent():
     # within a loose MC tolerance.
     assert abs(ll_single - ll_shard) / abs(ll_single) < 0.02, (
         ll_single, ll_shard)
+
+
+@requires_8
+def test_gram_shard_map_matches_unsharded():
+    """The shard_map Gram wrapper (Pallas per shard on TPU, XLA per shard
+    here) must reproduce the unsharded group Gram blocks: local time-slice
+    Grams psum to the full associative sum."""
+    from pyglm_tpu.models.weights import group_gram_blocks, _gram_shard_map
+    N, B, G, T = 8, 2, 2, 64
+    P = N * B + 1
+    rng = np.random.RandomState(0)
+    Xf = jnp.asarray(rng.randn(T, P).astype(np.float32))
+    omega = jnp.asarray(rng.rand(T, N).astype(np.float32) + 0.1)
+    mesh = make_mesh(n_time=2, n_neuron=4)
+    J_ref = group_gram_blocks(Xf, omega, B, G, t_chunk=16,
+                              precision="highest")
+    J_sm = _gram_shard_map(Xf, omega, B, G, 16, "highest", mesh,
+                           use_pallas=False)
+    np.testing.assert_allclose(np.asarray(J_sm), np.asarray(J_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@requires_8
+def test_pg_shard_map_distribution():
+    """pg_draw_unit under an active mesh routes through jax.shard_map; the
+    per-shard draws must still be exact PG(1, c) (KS vs the plain path)."""
+    from pyglm_tpu.ops.polyagamma import pg_draw_unit, pg_devroye
+    from pyglm_tpu.parallel.sharding import (
+        make_mesh, set_active_mesh, active_mesh)
+    from pyglm_tpu.diagnostics.geweke import ks_two_sample
+    c = jnp.full((2048, 8), 1.3, jnp.float32)
+    mesh = make_mesh(n_time=2, n_neuron=4)
+    prev = active_mesh()
+    set_active_mesh(mesh)
+    try:
+        s_mesh = pg_draw_unit(jax.random.key(0), c)
+    finally:
+        set_active_mesh(prev)
+    assert s_mesh.shape == c.shape
+    s_ref = pg_devroye(jax.random.key(1), c)
+    ks, thr = ks_two_sample(s_mesh, s_ref)
+    assert ks < thr, (ks, thr)
+
+
+@requires_8
+def test_gamma_shard_map_distribution():
+    """Same for the PG(b, c) gamma-series dispatch under a mesh."""
+    from pyglm_tpu.ops.polyagamma import polya_gamma, pg_gamma_series
+    from pyglm_tpu.parallel.sharding import (
+        make_mesh, set_active_mesh, active_mesh)
+    from pyglm_tpu.diagnostics.geweke import ks_two_sample
+    b = jnp.full((2048, 8), 3.5, jnp.float32)
+    c = jnp.full((2048, 8), 0.8, jnp.float32)
+    mesh = make_mesh(n_time=2, n_neuron=4)
+    prev = active_mesh()
+    set_active_mesh(mesh)
+    try:
+        s_mesh = polya_gamma(jax.random.key(0), b, c, method="real")
+    finally:
+        set_active_mesh(prev)
+    s_ref = pg_gamma_series(jax.random.key(1), b, c)
+    ks, thr = ks_two_sample(s_mesh, s_ref)
+    assert ks < thr, (ks, thr)
