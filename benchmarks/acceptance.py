@@ -37,8 +37,11 @@ THRESHOLDS = {
     "4_sbm": {
         "link_auc": (">=", 0.84), "weight_corr": (">=", 0.87),
         "pred_ll_gap_per_bin": ("<=", 0.014)},
+    # cfg5 runs a longer chain (see main): the joint position/adjacency
+    # posterior needs ~700 sweeps to pass 0.75 (full trajectory + ceiling
+    # analysis in BASELINE.md; 0.81 by sweep 2400).
     "5_latent_distance": {
-        "link_auc": (">=", 0.62), "pred_ll_gap_per_bin": ("<=", 0.046)},
+        "link_auc": (">=", 0.72), "pred_ll_gap_per_bin": ("<=", 0.040)},
 }
 
 
@@ -182,8 +185,11 @@ def main():
         print(json.dumps(res5))
         results.append(res5)
     else:
+        # Longer chain: the latent embedding takes ~600 sweeps to lock in
+        # from a fresh start (BASELINE.md config-5 analysis).
         results.append(run_config("5_latent_distance_single_chip", true,
-                                  model, T, T // 10, n_burn, n_avg))
+                                  model, T, T // 10,
+                                  (10 if q else 600), (5 if q else 100)))
 
     passed, failures = check_gates(results)
     report = {"quick": q, "results": results,
