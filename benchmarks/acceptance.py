@@ -28,9 +28,13 @@ import numpy as np
 THRESHOLDS = {
     "1_bernoulli_dense": {
         "weight_corr": (">=", 0.72), "pred_ll_gap_per_bin": ("<=", 0.005)},
+    # cfg2 runs a 400+100-sweep chain: the round-1 AUC 0.764 was an
+    # undercooked 130-sweep chain, not a sampler gap — at 500 sweeps the
+    # fresh chain reaches 0.871 vs a truth-initialized ceiling of 0.898
+    # (benchmarks/config2_analysis.py; BASELINE.md).
     "2_negative_binomial": {
-        "link_auc": (">=", 0.74), "weight_corr": (">=", 0.68),
-        "pred_ll_gap_per_bin": ("<=", 0.022)},
+        "link_auc": (">=", 0.83), "weight_corr": (">=", 0.80),
+        "pred_ll_gap_per_bin": ("<=", 0.006)},
     "3_spike_slab": {
         "link_auc": (">=", 0.82), "weight_corr": (">=", 0.87),
         "pred_ll_gap_per_bin": ("<=", 0.016)},
@@ -138,7 +142,8 @@ def main():
     model = pt.SparseNegativeBinomialGLM(
         N, B=4, L=10, seed=0, obs_kwargs=dict(max_y=256))
     results.append(run_config("2_negative_binomial", true, model,
-                              T, T // 10, n_burn, n_avg))
+                              T, T // 10,
+                              (10 if q else 400), (5 if q else 100)))
 
     # 3. Spike-and-slab joint (A, W) Gibbs.
     N, T = 100, (5_000 if q else 40_000)
