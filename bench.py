@@ -50,13 +50,33 @@ def main():
     model = pt.SparseBernoulliGLM(n, B=B, L=L, seed=0, precision="default")
     model.add_data(Y)
 
-    for _ in range(N_WARMUP):
-        model.resample_model()     # diag floats force full execution
-    t0 = time.time()
-    for _ in range(N_TIMED):
-        d = model.resample_model()
-    dt = (time.time() - t0) / N_TIMED
-    assert np.isfinite(d["log_likelihood"])
+    # Time the chain the way the library runs chains: sweeps scanned on
+    # device (fit_compiled's shape), so per-sweep host dispatch (~30 ms
+    # through the axon tunnel) is not billed to the sampler. datas is an
+    # ARGUMENT, not a closure — closing over the 320 MB design tensor
+    # overflows the remote-compile relay (CLAUDE.md).
+    sweep = model._sweep
+
+    @jax.jit
+    def run_k(key, state, datas):
+        def body(s, kk):
+            s, d = sweep(kk, s, datas)
+            return s, d["log_likelihood"]
+        return jax.lax.scan(body, state, jax.random.split(key, N_TIMED))
+
+    datas = tuple(model.datas)
+    state = model.state
+    for i in range(N_WARMUP):
+        state, lls = run_k(jax.random.key(i), state, datas)
+        float(lls[-1])             # host readback = real sync (axon)
+    reps = []
+    for i in range(3):
+        t0 = time.time()
+        state, lls = run_k(jax.random.key(100 + i), state, datas)
+        ll = float(lls[-1])
+        reps.append((time.time() - t0) / N_TIMED)
+    dt = float(np.median(reps))
+    assert np.isfinite(ll)
 
     value = 1.0 / dt
     print(json.dumps({

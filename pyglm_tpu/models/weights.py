@@ -214,17 +214,23 @@ def diag_blocks(Xf, omega, B: int, t_chunk: int = 512,
 
 def _batched_evidence(m, Jjj, mu0, Lam0, ld0_half):
     """Vectorized collapsed evidence for one presyn block across all
-    postsyn neurons: m (N,B), Jjj (N,B,B), mu0 (N,B), Lam0 (N,B,B)."""
+    postsyn neurons: m (N,B), Jjj (N,B,B), mu0 (N,B), Lam0 (N,B,B).
+
+    Uses the unrolled small-B factorizations (ops/linalg.py) so the whole
+    per-edge step fuses into a few elementwise kernels — at B<=8 the
+    batched LAPACK-style cholesky/solve launch latency would otherwise
+    dominate the N_pre-step sequential scan."""
+    from pyglm_tpu.ops.linalg import (
+        chol_small, solve_lower_small, solve_lower_t_small)
     Lp = Lam0 + Jjj
-    Cp = jnp.linalg.cholesky(Lp)
+    Cp = chol_small(Lp)
     bpost = m + jnp.einsum("nbc,nc->nb", Lam0, mu0)
-    z = solve_triangular(Cp, bpost[..., None], lower=True)[..., 0]
+    z = solve_lower_small(Cp, bpost)
     quad_p = 0.5 * jnp.sum(z * z, axis=-1)
     quad_0 = 0.5 * jnp.einsum("nb,nbc,nc->n", mu0, Lam0, mu0)
     logdet_p = jnp.sum(jnp.log(jnp.diagonal(Cp, axis1=-2, axis2=-1)), axis=-1)
     log_ev = quad_p - quad_0 + ld0_half - logdet_p
-    mu_p = solve_triangular(
-        jnp.swapaxes(Cp, -1, -2), z[..., None], lower=False)[..., 0]
+    mu_p = solve_lower_t_small(Cp, z)
     return log_ev, mu_p, Cp
 
 
@@ -400,8 +406,8 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
             log_ev, mu_p, Cp = _batched_evidence(m, Jii, mu0i, Lam0i, ld0i)
             a = jax.random.bernoulli(k1, logistic(lrhoi + log_ev))
             eps = jax.random.normal(k2, (N, B))
-            w_draw = mu_p + solve_triangular(
-                jnp.swapaxes(Cp, -1, -2), eps[..., None], lower=False)[..., 0]
+            from pyglm_tpu.ops.linalg import solve_lower_t_small
+            w_draw = mu_p + solve_lower_t_small(Cp, eps)
             w_new = jnp.where(a[:, None], w_draw, 0.0)         # (N, B)
             # each edge visited once per sweep: its dW row is simply new-old
             dW = lax.dynamic_update_slice(dW, w_new.T - wi, (li, 0))

@@ -169,3 +169,69 @@ def crt_sample(key, y, r, max_y: int):
 def logdet_from_chol(C):
     """log|A| given A = C C^T."""
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(C, axis1=-2, axis2=-1)), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Unrolled small-B Cholesky / triangular solves
+# ---------------------------------------------------------------------------
+# The collapsed spike-and-slab scan performs ~N_pre sequential per-edge
+# steps, each factorizing (N, B, B) posteriors with B in {1..8}. At those
+# sizes jnp.linalg.cholesky / solve_triangular lower to separate batched
+# kernels whose fixed launch latency dominates the sweep (BASELINE.md
+# round-2 breakdown). These unrolled forms are pure elementwise arithmetic
+# over the batch, so XLA fuses the whole edge step into a few kernels.
+
+_SMALL_B_MAX = 8
+
+
+def chol_small(A):
+    """Cholesky of (..., B, B) SPD matrices, unrolled over static B."""
+    B = A.shape[-1]
+    if B > _SMALL_B_MAX:
+        return jnp.linalg.cholesky(A)
+    L = [[None] * B for _ in range(B)]
+    for j in range(B):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(s)
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, B):
+            s2 = A[..., i, j]
+            for k in range(j):
+                s2 = s2 - L[i][k] * L[j][k]
+            L[i][j] = s2 * inv_d
+    zero = jnp.zeros_like(A[..., 0, 0])
+    rows = [jnp.stack([L[i][j] if j <= i else zero for j in range(B)],
+                      axis=-1) for i in range(B)]
+    return jnp.stack(rows, axis=-2)
+
+
+def solve_lower_small(L, b):
+    """x with L x = b for lower-triangular (..., B, B) L, (..., B) b."""
+    B = L.shape[-1]
+    if B > _SMALL_B_MAX:
+        return solve_triangular(L, b[..., None], lower=True)[..., 0]
+    x = [None] * B
+    for i in range(B):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[..., i, k] * x[k]
+        x[i] = s / L[..., i, i]
+    return jnp.stack(x, axis=-1)
+
+
+def solve_lower_t_small(L, b):
+    """x with L^T x = b (upper solve via the lower factor, no transpose)."""
+    B = L.shape[-1]
+    if B > _SMALL_B_MAX:
+        return solve_triangular(
+            jnp.swapaxes(L, -1, -2), b[..., None], lower=False)[..., 0]
+    x = [None] * B
+    for i in range(B - 1, -1, -1):
+        s = b[..., i]
+        for k in range(i + 1, B):
+            s = s - L[..., k, i] * x[k]
+        x[i] = s / L[..., i, i]
+    return jnp.stack(x, axis=-1)
