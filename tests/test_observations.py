@@ -1,5 +1,6 @@
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 from scipy import stats as sps
 
