@@ -26,8 +26,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _PI = 3.141592653589793
 _T = 0.64
-_INNER = 10         # trunc-IG rounds in the fast pass (exhaustion ~1e-4)
-_NSERIES = 4        # series terms: a_3/a_0 < 1e-17 — invisible at f32
+_INNER = 6          # trunc-IG rounds per outer round (exhaustion ~2.5e-3)
+_NSERIES = 2        # series terms: a_2/a_0 < 4e-8 — invisible at f32
+_ROUNDS = 2         # outer proposal rounds fused in ONE kernel (the setup
+                    # — q/ratio/erf — is computed once, not per pass)
 _LANES = 128
 _BLK = 256          # sublanes per program: tile = (256, 128) = 32k draws
 
@@ -116,10 +118,11 @@ def _pg_kernel(seed_ref, psi_ref, out_ref, done_ref):
     use_levy = jnp.where((z * _T) < 1.0, one, zero)
     mu = 1.0 / zsafe
 
-    # ---- ONE proposal round (99.92% of elements accept here); the rare
-    # failures are compacted and finished by the exact XLA sampler. Running
-    # only one round keeps the SIMD kernel instruction-bound cost ~8x lower
-    # than a full fixed-budget loop. -----------------------------------
+    # ---- _ROUNDS fused proposal rounds (per-round acceptance ~0.997);
+    # residual failures (~1e-5) are finished by the exact XLA sampler via
+    # segment-argmax extraction. Fusing the rounds amortizes the setup
+    # (q/ratio/erf) and the HBM round trip that a second pallas pass would
+    # pay; a full fixed-budget loop would cost ~8x more. ---------------
     def inner_body(_, carry):
         Xig, ig_done = carry
         E1 = _exponential(shape)
@@ -147,27 +150,33 @@ def _pg_kernel(seed_ref, psi_ref, out_ref, done_ref):
         ig_done = jnp.maximum(ig_done, acc)
         return Xig, ig_done
 
-    branch_exp = jnp.where(_uniform(shape) < ratio, one, zero)
-    Xexp = _T + _exponential(shape) / K
-    Xig, ig_done = lax.fori_loop(0, _INNER, inner_body, (zero, zero))
-    Xprop = m_where(branch_exp, Xexp, jnp.maximum(Xig, 1e-30))
-    prop_ok = jnp.maximum(branch_exp, ig_done)
+    Xout = X0
+    done = zero
+    for _ in range(_ROUNDS):
+        branch_exp = jnp.where(_uniform(shape) < ratio, one, zero)
+        Xexp = _T + _exponential(shape) / K
+        Xig, ig_done = lax.fori_loop(0, _INNER, inner_body, (zero, zero))
+        Xprop = m_where(branch_exp, Xexp, jnp.maximum(Xig, 1e-30))
+        prop_ok = jnp.maximum(branch_exp, ig_done)
 
-    # Alternating-series accept test.
-    la0 = _log_coef(Xprop, 0.0)
-    Y = _uniform(shape) * jnp.exp(la0)
-    S = jnp.exp(la0)
-    lower = zero
-    for n in range(1, _NSERIES + 1):
-        term = jnp.exp(_log_coef(Xprop, float(n)))
-        if n % 2 == 1:
-            S = S - term
-            lower = S
-        else:
-            S = S + term
-    acc = jnp.where(Y <= lower, one, zero) * prop_ok
-    out_ref[:] = 0.25 * m_where(acc, Xprop, X0)
-    done_ref[:] = acc
+        # Alternating-series accept test.
+        la0 = _log_coef(Xprop, 0.0)
+        Y = _uniform(shape) * jnp.exp(la0)
+        S = jnp.exp(la0)
+        lower = zero
+        for n in range(1, _NSERIES + 1):
+            term = jnp.exp(_log_coef(Xprop, float(n)))
+            if n % 2 == 1:
+                S = S - term
+                lower = S
+            else:
+                S = S + term
+        acc = jnp.where(Y <= lower, one, zero) * prop_ok * (1.0 - done)
+        Xout = m_where(acc, Xprop, Xout)
+        done = jnp.maximum(done, acc)
+
+    out_ref[:] = 0.25 * Xout
+    done_ref[:] = done
 
 
 def _kernel_pass(key, flat, n_blk):
@@ -233,9 +242,9 @@ def _finish_by_extraction(key, arrs2, out2, fail2, draw_fn):
 def pg_devroye_pallas(key, c):
     """Exact PG(1, c), elementwise over any-shaped c.
 
-    Two independent fused Pallas proposal passes cover all but ~1e-6 of
-    elements (per-pass failure ~1e-3); the surviving stragglers — a dozen
-    out of 20M — are finished by the exact XLA sampler via a segment-argmax
+    One fused Pallas pass running _ROUNDS proposal rounds covers all but
+    ~1e-5 of elements; the surviving stragglers — a few hundred out of
+    20M — are finished by the exact XLA sampler via a segment-argmax
     extraction loop on an (n/4096)-sized array. Every stage draws from the
     exact distribution, so the composition is exact. (A full-array XLA
     continuation costs ~2.4x one kernel pass; jnp.nonzero compaction costs
@@ -247,12 +256,10 @@ def pg_devroye_pallas(key, c):
     n_blk = -(-total // per_blk)
     flat = jnp.pad(c.ravel(), (0, n_blk * per_blk - total))
     flat = flat.reshape(n_blk * _BLK, _LANES)
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k3 = jax.random.split(key)
 
-    out1, done1 = _kernel_pass(k1, flat, n_blk)
-    out2, done2 = _kernel_pass(k2, flat, n_blk)
-    out = jnp.where(done1 > 0.5, out1, out2)
-    fail = jnp.maximum(done1, done2) < 0.5
+    out, done = _kernel_pass(k1, flat, n_blk)
+    fail = done < 0.5
 
     # Padding rows never count as failures.
     M = n_blk * _BLK * _LANES
