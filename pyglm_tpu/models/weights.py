@@ -289,7 +289,7 @@ def _gram_shard_map(Xf, omega, B, G, t_chunk, precision, mesh, use_pallas):
         if use_pallas:
             from pyglm_tpu.ops.gram_pallas import group_gram_blocks_pallas
             Jl = group_gram_blocks_pallas(xf, om, B, G, t_chunk=t_chunk,
-                                          fast=True)
+                                          fast=(precision == "default"))
         else:
             Jl = group_gram_blocks(xf, om, B, G, t_chunk=t_chunk,
                                    precision=precision)
@@ -347,8 +347,12 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
     GB = G * B
 
     if Jg is None:
+        # Fused Gram kernel: fast=True (single bf16 pass, ~8e-4 rel) for
+        # the opt-in speed mode; fast=False (in-kernel bf16x3, ~7e-7 rel —
+        # measured slightly MORE accurate than the XLA HIGH path) for
+        # precision='high'. 'highest' keeps the f32 XLA scan.
         pallas_ok = (_use_pallas_gram() and GB % 8 == 0
-                     and precision == "default")
+                     and precision in ("default", "high"))
         from pyglm_tpu.parallel.sharding import active_mesh
         mesh = active_mesh()
         if (mesh is not None and mesh.devices.size > 1
@@ -357,10 +361,9 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
             Jg = _gram_shard_map(Xf, omega, B, G, t_chunk, precision,
                                  mesh, pallas_ok)
         elif pallas_ok and len(jax.devices()) == 1:
-            # Opt-in speed mode: single-bf16-pass fused Gram kernel.
             from pyglm_tpu.ops.gram_pallas import group_gram_blocks_pallas
             Jg = group_gram_blocks_pallas(Xf, omega, B, G, t_chunk=t_chunk,
-                                          fast=True)
+                                          fast=(precision == "default"))
         else:
             Jg = group_gram_blocks(Xf, omega, B, G, t_chunk=t_chunk,
                                    precision=precision)  # (Ng, N, GB, GB)

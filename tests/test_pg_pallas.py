@@ -86,8 +86,15 @@ def test_gram_pallas_matches_xla():
     P = N * B + 1
     Xf = jnp.asarray((rng.rand(T, P) * (rng.rand(T, P) < 0.3)).astype(np.float32))
     omega = jnp.asarray(rng.rand(T, N).astype(np.float32) + 0.05)
-    a = np.asarray(group_gram_blocks_pallas(Xf, omega, B, G, t_chunk=256))
     b = np.asarray(group_gram_blocks(Xf, omega, B, G, t_chunk=256,
-                                     precision="highest"))
-    np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+                                     precision="highest"), np.float64)
+    scale = np.abs(b).max()
+    # bf16x3 kernel (precision='high' path): f32-grade
+    a = np.asarray(group_gram_blocks_pallas(Xf, omega, B, G, t_chunk=256,
+                                            fast=False), np.float64)
+    assert np.abs(a - b).max() / scale < 5e-6, np.abs(a - b).max() / scale
     assert a.shape == (N // G, N, G * B, G * B)
+    # single-bf16 kernel (speed mode): ~8e-4 relative
+    af = np.asarray(group_gram_blocks_pallas(Xf, omega, B, G, t_chunk=256,
+                                             fast=True), np.float64)
+    assert np.abs(af - b).max() / scale < 5e-3, np.abs(af - b).max() / scale
