@@ -27,7 +27,8 @@ from jax import lax
 from jax.scipy.linalg import solve_triangular
 
 from pyglm_tpu.ops.linalg import (
-    gaussian_evidence, sample_from_evidence, sample_mvn_info,
+    chol_small, gaussian_evidence, sample_from_evidence, sample_mvn_info,
+    solve_lower_small, solve_lower_t_small,
 )
 from pyglm_tpu.utils.utils import logistic
 
@@ -220,8 +221,6 @@ def _batched_evidence(m, Jjj, mu0, Lam0, ld0_half):
     per-edge step fuses into a few elementwise kernels — at B<=8 the
     batched LAPACK-style cholesky/solve launch latency would otherwise
     dominate the N_pre-step sequential scan."""
-    from pyglm_tpu.ops.linalg import (
-        chol_small, solve_lower_small, solve_lower_t_small)
     Lp = Lam0 + Jjj
     Cp = chol_small(Lp)
     bpost = m + jnp.einsum("nbc,nc->nb", Lam0, mu0)
@@ -409,7 +408,6 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
             log_ev, mu_p, Cp = _batched_evidence(m, Jii, mu0i, Lam0i, ld0i)
             a = jax.random.bernoulli(k1, logistic(lrhoi + log_ev))
             eps = jax.random.normal(k2, (N, B))
-            from pyglm_tpu.ops.linalg import solve_lower_t_small
             w_draw = mu_p + solve_lower_t_small(Cp, eps)
             w_new = jnp.where(a[:, None], w_draw, 0.0)         # (N, B)
             # each edge visited once per sweep: its dW row is simply new-old
