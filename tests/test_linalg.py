@@ -90,3 +90,31 @@ def test_crt_expectation():
     l0 = np.asarray(crt_sample(jax.random.key(7), jnp.zeros((100,), jnp.int32), r, 4))
     l1 = np.asarray(crt_sample(jax.random.key(8), jnp.ones((100,), jnp.int32), r, 4))
     assert np.all(l0 == 0) and np.all(l1 == 1)
+
+
+def test_unrolled_small_cholesky_and_solves():
+    """chol_small / solve_lower_small / solve_lower_t_small (the fused
+    forms used by the spike-slab edge scan) must match jnp.linalg /
+    solve_triangular for every supported B."""
+    from jax.scipy.linalg import solve_triangular
+    from pyglm_tpu.ops.linalg import (
+        chol_small, solve_lower_small, solve_lower_t_small)
+    rng = np.random.RandomState(0)
+    for B in [1, 2, 3, 4, 8]:
+        X = rng.randn(40, B, B)
+        A = jnp.asarray(X @ X.transpose(0, 2, 1) + 3 * np.eye(B), jnp.float32)
+        b = jnp.asarray(rng.randn(40, B), jnp.float32)
+        L_ref = jnp.linalg.cholesky(A)
+        np.testing.assert_allclose(chol_small(A), L_ref, rtol=2e-5, atol=2e-5)
+        y_ref = solve_triangular(L_ref, b[..., None], lower=True)[..., 0]
+        np.testing.assert_allclose(solve_lower_small(L_ref, b), y_ref,
+                                   rtol=2e-4, atol=2e-5)
+        z_ref = solve_triangular(jnp.swapaxes(L_ref, -1, -2), b[..., None],
+                                 lower=False)[..., 0]
+        np.testing.assert_allclose(solve_lower_t_small(L_ref, b), z_ref,
+                                   rtol=2e-4, atol=2e-5)
+    # B > cap falls back to the library routines
+    X = rng.randn(4, 12, 12)
+    A = jnp.asarray(X @ X.transpose(0, 2, 1) + 5 * np.eye(12), jnp.float32)
+    np.testing.assert_allclose(chol_small(A), jnp.linalg.cholesky(A),
+                               rtol=2e-5, atol=2e-5)
