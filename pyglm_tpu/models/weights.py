@@ -128,7 +128,7 @@ def _spike_slab_one_neuron(key, J, h, w_init, mu0, Lam0, logit_rho,
     """
     N = logit_rho.shape[0]
     P = h.shape[0]
-    C0 = jnp.linalg.cholesky(Lam0)                       # (N, B, B)
+    C0 = chol_small(Lam0)                                # (N, B, B)
     ld0_half = jnp.sum(jnp.log(jnp.diagonal(C0, axis1=-2, axis2=-1)), axis=-1)
     r_vec = J @ w_init
     keys = jax.random.split(key, N + 1)
@@ -366,7 +366,10 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
         else:
             Jg = group_gram_blocks(Xf, omega, B, G, t_chunk=t_chunk,
                                    precision=precision)  # (Ng, N, GB, GB)
-    C0 = jnp.linalg.cholesky(hyp.Lam)                 # (Npre, N, B, B)
+    # Unrolled small-B cholesky: the batched LAPACK-style kernel costs
+    # ~17 ms on the (Npre, N, B, B) prior stack — per sweep, since hyp
+    # changes with the network state.
+    C0 = chol_small(hyp.Lam)                          # (Npre, N, B, B)
     ld0_half = jnp.sum(jnp.log(jnp.diagonal(C0, axis1=-2, axis2=-1)), axis=-1)
 
     if psi is None:

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _PI = 3.141592653589793
 _T = 0.64
-_INNER = 6          # trunc-IG rounds per outer round (exhaustion ~2.5e-3)
+_INNER = 6          # trunc-IG iterations (3 Box-Muller pairs) per outer round
 _NSERIES = 2        # series terms: a_2/a_0 < 4e-8 — invisible at f32
 _ROUNDS = 2         # outer proposal rounds fused in ONE kernel (the setup
                     # — q/ratio/erf — is computed once, not per pass)
@@ -82,7 +82,7 @@ def _log_coef(x, n):
     return jnp.where(x <= _T, logl, logr)
 
 
-def _pg_kernel(seed_ref, psi_ref, out_ref, done_ref):
+def _pg_kernel(seed_ref, psi_ref, out_ref, done_ref, *, rounds=_ROUNDS):
     # Distinct stream per grid program: mix the block index into the seed
     # words arithmetically (3-arg prng_seed miscompiles on this Mosaic).
     pid = pl.program_id(0)
@@ -119,59 +119,74 @@ def _pg_kernel(seed_ref, psi_ref, out_ref, done_ref):
     mu = 1.0 / zsafe
 
     # ---- _ROUNDS fused proposal rounds (per-round acceptance ~0.997);
-    # residual failures (~1e-5) are finished by the exact XLA sampler via
-    # segment-argmax extraction. Fusing the rounds amortizes the setup
-    # (q/ratio/erf) and the HBM round trip that a second pallas pass would
-    # pay; a full fixed-budget loop would cost ~8x more. ---------------
-    def inner_body(_, carry):
+    # residual failures (~1e-5) are finished via compacted segment-argmax
+    # extraction + a many-round single-block kernel. Fusing the rounds
+    # amortizes the setup (q/ratio/erf) and the HBM round trip that a second
+    # pallas pass would pay; a full fixed-budget loop would cost ~8x more.
+    #
+    # Transcendental budget (the kernel is VPU-transcendental-bound —
+    # ~0.08 ns/elt per log/exp/cos): the trunc-IG iteration is run in PAIRS:
+    #  * Levy lane: the two-stage test (E1^2 <= 2 E2/_T, then
+    #    u <= exp(-z^2 XA/2)) is marginalized over E2 —
+    #    P(E2 >= _T E1^2 / 2) = exp(-_T E1^2/2) — so one merged uniform test
+    #    u <= exp(-(_T E1^2 + z^2 XA)/2) replaces E2's log entirely.
+    #  * IG lane: the chi^2_1 variates for the two halves of a pair come
+    #    from ONE Box-Muller radius: R^2 cos^2(th) and R^2 sin^2(th) are
+    #    independent chi^2_1 (Z1, Z2 independent), and sin^2 = 1 - cos^2
+    #    costs nothing. Squaring first also deletes the sqrt of |Z|.
+    #  * The merged-accA uniform doubles as the takeB uniform — each element
+    #    reads it for exactly one lane.
+    # Net: ~4 transcendentals per trunc-IG iteration instead of 7.
+    def inner_pair(_, carry):
         Xig, ig_done = carry
-        E1 = _exponential(shape)
-        E2 = _exponential(shape)
-        okA = jnp.where((E1 * E1) <= (2.0 * E2 / _T), one, zero)
-        XA = _T / (1.0 + _T * E1) ** 2
-        accA = okA * jnp.where(
-            _uniform(shape) <= jnp.exp(-0.5 * z * z * XA), one, zero)
-        Yn = _normal(shape)
-        Yn = Yn * Yn
-        muY = mu * Yn
-        XB0 = mu + 0.5 * mu * muY - 0.5 * mu * jnp.sqrt(
-            4.0 * muY + muY * muY)
-        XB0 = jnp.maximum(XB0, 1e-30)
-        takeB = jnp.where(_uniform(shape) <= mu / (mu + XB0), one, zero)
-        # Clamp BEFORE the arithmetic mask: 0 * inf = NaN, and mu^2/XB0
-        # overflows f32 when z ~ 0 (the Levy branch is taken there, but the
-        # masked-out lane must still be finite).
-        XBr = jnp.minimum(mu * mu / XB0, 1e30)
-        XB = m_where(takeB, XB0, XBr)
-        accB = jnp.where(XB <= _T, one, zero)
-        Xn = m_where(use_levy, XA, XB)
-        acc = m_where(use_levy, accA, accB) * (1.0 - ig_done)
-        Xig = m_where(acc, Xn, Xig)
-        ig_done = jnp.maximum(ig_done, acc)
+        r2 = 2.0 * _exponential(shape)          # Box-Muller R^2 = -2 log u
+        cth = jnp.cos(2.0 * _PI * _uniform(shape))
+        c2 = cth * cth
+        for chi2 in (r2 * c2, r2 * (1.0 - c2)):
+            E1 = _exponential(shape)
+            d1 = 1.0 + _T * E1
+            XA = _T / (d1 * d1)
+            u = _uniform(shape)
+            accA = jnp.where(
+                u <= jnp.exp(-0.5 * (_T * E1 * E1 + z * z * XA)), one, zero)
+            muY = mu * chi2
+            XB0 = mu + 0.5 * mu * muY - 0.5 * mu * jnp.sqrt(
+                4.0 * muY + muY * muY)
+            XB0 = jnp.maximum(XB0, 1e-30)
+            takeB = jnp.where(u <= mu / (mu + XB0), one, zero)
+            # Clamp BEFORE the arithmetic mask: 0 * inf = NaN, and mu^2/XB0
+            # overflows f32 when z ~ 0 (the Levy branch is taken there, but
+            # the masked-out lane must still be finite).
+            XBr = jnp.minimum(mu * mu / XB0, 1e30)
+            XB = m_where(takeB, XB0, XBr)
+            accB = jnp.where(XB <= _T, one, zero)
+            Xn = m_where(use_levy, XA, XB)
+            acc = m_where(use_levy, accA, accB) * (1.0 - ig_done)
+            Xig = m_where(acc, Xn, Xig)
+            ig_done = jnp.maximum(ig_done, acc)
         return Xig, ig_done
 
     Xout = X0
     done = zero
-    for _ in range(_ROUNDS):
+    for _ in range(rounds):
         branch_exp = jnp.where(_uniform(shape) < ratio, one, zero)
         Xexp = _T + _exponential(shape) / K
-        Xig, ig_done = lax.fori_loop(0, _INNER, inner_body, (zero, zero))
+        Xig, ig_done = lax.fori_loop(0, _INNER // 2, inner_pair, (zero, zero))
         Xprop = m_where(branch_exp, Xexp, jnp.maximum(Xig, 1e-30))
         prop_ok = jnp.maximum(branch_exp, ig_done)
 
-        # Alternating-series accept test.
-        la0 = _log_coef(Xprop, 0.0)
-        Y = _uniform(shape) * jnp.exp(la0)
-        S = jnp.exp(la0)
-        lower = zero
-        for n in range(1, _NSERIES + 1):
-            term = jnp.exp(_log_coef(Xprop, float(n)))
-            if n % 2 == 1:
-                S = S - term
-                lower = S
-            else:
-                S = S + term
-        acc = jnp.where(Y <= lower, one, zero) * prop_ok * (1.0 - done)
+        # Alternating-series accept test against the n=1 lower bound,
+        # normalized by a_0: U a_0 <= a_0 - a_1  <=>  U <= 1 - a_1/a_0, and
+        # a_1/a_0 = 3 exp(-4/x) (x <= t) / 3 exp(-pi^2 x) (x > t) — ONE exp,
+        # no log. The n=2 refinement never changes the decision (the
+        # alternating bound used for acceptance is the odd partial sum;
+        # a_2/a_0 < 4e-8 only tightens the unused upper bound), so the
+        # accepted law is identical to the previous 3-term evaluation.
+        xs = jnp.maximum(Xprop, 1e-30)
+        w1 = jnp.where(Xprop <= _T, -4.0 / xs, -_PI * _PI * Xprop)
+        ratio1 = 3.0 * jnp.exp(w1)
+        acc = jnp.where(_uniform(shape) <= 1.0 - ratio1, one, zero) \
+            * prop_ok * (1.0 - done)
         Xout = m_where(acc, Xprop, Xout)
         done = jnp.maximum(done, acc)
 
@@ -179,10 +194,10 @@ def _pg_kernel(seed_ref, psi_ref, out_ref, done_ref):
     done_ref[:] = done
 
 
-def _kernel_pass(key, flat, n_blk):
+def _kernel_pass(key, flat, n_blk, rounds=_ROUNDS):
     seed = jax.random.key_data(key).astype(jnp.uint32)[:2].astype(jnp.int32)
     return pl.pallas_call(
-        _pg_kernel,
+        partial(_pg_kernel, rounds=rounds),
         grid=(n_blk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -202,20 +217,69 @@ def _kernel_pass(key, flat, n_blk):
     )(seed, flat)
 
 
+_SMALL_ROUNDS = 12      # straggler budget: residual ~ (1e-2)^12 per element
+
+
+def _pg_draw_small(key, c):
+    """Devroye draws for the (S,)-sized straggler arrays of the extraction
+    finisher: one single-block Pallas call running _SMALL_ROUNDS proposal
+    rounds (residual non-acceptance ~1e-24 per element falls back to the
+    conditional mean, matching the documented fallback of the big pass).
+    Replaces the XLA while-loop sampler here — on a few-thousand-element
+    array its sequential accept-reject rounds are latency-bound and cost
+    ~1.6 ms per extraction round; this kernel costs ~0.1 ms."""
+    S = c.shape[0]
+    rows = -(-S // _LANES)
+    rows_p = -(-rows // 8) * 8                      # f32 min sublane tile
+    flat = jnp.pad(c, (0, rows_p * _LANES - S)).reshape(rows_p, _LANES)
+    seed = jax.random.key_data(key).astype(jnp.uint32)[:2].astype(jnp.int32)
+    out, _ = pl.pallas_call(
+        partial(_pg_kernel, rounds=_SMALL_ROUNDS),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows_p, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows_p, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_p, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_p, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_p, _LANES), jnp.float32),
+        ],
+    )(seed, flat)
+    return out.reshape(-1)[:S]
+
+
 _SEG = 4096
 _MAX_EXTRACT = 64
 
 
+_EXTRACT_R = 8      # failure columns resolved per compacted segment/phase
+_COMPACT_K = 2048   # failing segments gathered per phase
+
+
 def _finish_by_extraction(key, arrs2, out2, fail2, draw_fn):
-    """Exact finisher for the last ~dozen stragglers.
+    """Exact finisher for the last few-thousand stragglers.
 
     arrs2 is a tuple of (S, SEG) parameter arrays; out2/fail2 are (S, SEG).
-    Each round resolves the FIRST failure of every segment: one vectorized
-    argmax pass, one exact XLA draw_fn(key, *params) on an (S,)-sized array
-    (cheap while-loops at that size), one row-indexed scatter. Loops until
-    no failures remain (expected 1-2 rounds; capped)."""
-    S = out2.shape[0]
-    rows = jnp.arange(S)
+    Touching the full (S, SEG) arrays once per straggler rank is what makes
+    naive extraction cost ~1.5 ms/rank, so one phase works on a COMPACTED
+    view: argsort the per-segment any-failure flags, gather the (at most)
+    _COMPACT_K failing segments' rows, resolve the first _EXTRACT_R failure
+    columns of each compacted row (argmax sweeps over the small view), redraw
+    them all with ONE draw_fn call, and scatter the repaired rows back.
+    Phases repeat (capped) until no failures remain — with the pass-1 budgets
+    in this module, one phase clears everything with overwhelming
+    probability; capacity overflow (more than K failing segments or more than
+    R failures in one segment) simply rolls into the next phase."""
+    S, SEG = out2.shape
+    K = min(S, _COMPACT_K)
+    rows = jnp.arange(K)
 
     def cond(state):
         i, _, _, fail2 = state
@@ -224,13 +288,32 @@ def _finish_by_extraction(key, arrs2, out2, fail2, draw_fn):
     def body(state):
         i, key, out2, fail2 = state
         key, k1 = jax.random.split(key)
-        arg = jnp.argmax(fail2, axis=1)                      # (S,)
-        has = jnp.any(fail2, axis=1)
-        vals = tuple(a2[rows, arg] for a2 in arrs2)
-        draws = draw_fn(k1, *vals)                           # (S,) exact
-        out2 = out2.at[rows, arg].set(
-            jnp.where(has, draws, out2[rows, arg]))
-        fail2 = fail2.at[rows, arg].set(False)
+        seg_any = jnp.any(fail2, axis=1)
+        sel = jnp.argsort(~seg_any)[:K]           # failing segments first
+        sub_fail = fail2[sel]                     # (K, SEG)
+        sub_out = out2[sel]
+        sub_arrs = tuple(a2[sel] for a2 in arrs2)
+
+        idxs, hass = [], []
+        for _ in range(_EXTRACT_R):
+            arg = jnp.argmax(sub_fail, axis=1)    # (K,)
+            idxs.append(arg)
+            hass.append(sub_fail[rows, arg])
+            sub_fail = sub_fail.at[rows, arg].set(False)
+        idx = jnp.stack(idxs, axis=1)             # (K, R)
+        has = jnp.stack(hass, axis=1)
+        vals = tuple(jnp.take_along_axis(a2, idx, axis=1).reshape(-1)
+                     for a2 in sub_arrs)
+        draws = draw_fn(k1, *vals).reshape(K, _EXTRACT_R)
+        # Exhausted ranks all report column argmax(False)=0 — scatter them
+        # out of bounds (mode='drop') so a real draw at column 0 is never
+        # raced by a stale duplicate write.
+        idx_w = jnp.where(has, idx, SEG)
+        sub_out = jax.vmap(
+            lambda o, ix, u: o.at[ix].set(u, mode="drop"))(
+                sub_out, idx_w, draws)
+        out2 = out2.at[sel].set(sub_out)
+        fail2 = fail2.at[sel].set(sub_fail)
         return i + 1, key, out2, fail2
 
     _, _, out2, _ = lax.while_loop(
@@ -266,11 +349,11 @@ def pg_devroye_pallas(key, c):
     valid = (jnp.arange(M) < total).reshape(n_blk * _BLK, _LANES)
     fail = fail & valid
 
-    from pyglm_tpu.ops.polyagamma import pg_devroye
     S = -(-M // _SEG)
     c2 = flat.reshape(S, _SEG)
     out = _finish_by_extraction(
-        k3, (c2,), out.reshape(S, _SEG), fail.reshape(S, _SEG), pg_devroye)
+        k3, (c2,), out.reshape(S, _SEG), fail.reshape(S, _SEG),
+        _pg_draw_small)
     return out.reshape(-1)[:total].reshape(shape)
 
 
