@@ -134,7 +134,12 @@ class NonlinearAutoregressiveModel:
                 XtY = jnp.einsum("tp,tn->pn", Xf, Y,
                                  preferred_element_type=jnp.float32,
                                  precision=prec)
-        self.datas.append(GLMData(Y=Y, Xf=Xf, Gg0=Gg0, Gfull=Gfull, XtY=XtY))
+        # Transposed design at rest: the Pallas Gram kernel and the
+        # residual-space group matmuls consume the design presyn-major;
+        # transposing 320 MB per sweep would cost ~1.5 ms (flagship).
+        Xt = jnp.asarray(Xf.T)
+        self.datas.append(GLMData(Y=Y, Xf=Xf, Xt=Xt, Gg0=Gg0, Gfull=Gfull,
+                                  XtY=XtY))
 
     def generate(self, T: int, keep: bool = True):
         """Sample a (T, N) spike train from the current model parameters."""

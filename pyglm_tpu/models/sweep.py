@@ -23,6 +23,10 @@ from pyglm_tpu.models.weights import (
 class GLMData(NamedTuple):
     Y: jax.Array    # (T, N) observations
     Xf: jax.Array   # (T, P) flattened design (P = N*B+1, last col = ones)
+    # Transposed design (P, T), materialized once at add_data: the Pallas
+    # Gram kernel and the residual-space group matmuls consume the design
+    # presyn-major, and transposing 320 MB per sweep costs ~1.5 ms.
+    Xt: object = None
     # Cached unweighted Gram statistics (Gaussian observations only — there
     # omega = 1/eta_n is constant over time, so X'OmegaX = Gram / eta_n and
     # the per-sweep stat scans over T collapse to broadcasts):
@@ -71,6 +75,8 @@ def make_gibbs_sweep(obs, network, N: int, B: int, spike_slab: bool,
             # Residual-space collapsed update: O(N^2 T B), no Gram stack.
             # Datasets concatenate along time (designs never cross datasets).
             Xf_cat = jnp.concatenate([d.Xf for d in datas], axis=0)
+            Xt_cat = (jnp.concatenate([d.Xt for d in datas], axis=1)
+                      if all(d.Xt is not None for d in datas) else None)
             psi = jnp.dot(Xf_cat, w_full,
                           preferred_element_type=jnp.float32,
                           precision=prec)
@@ -82,7 +88,8 @@ def make_gibbs_sweep(obs, network, N: int, B: int, spike_slab: bool,
                 Jg = Gg0 * inv_eta[None, :, None, None]
             A, w_full, u, _ = resample_spike_slab_tspace(
                 k_w, Xf_cat, omega, kappa, w_full, hyp, B,
-                t_chunk=t_chunk, precision=precision, psi=psi, Jg=Jg)
+                t_chunk=t_chunk, precision=precision, psi=psi, Jg=Jg,
+                Xt=Xt_cat)
             # psi under the NEW weights, recovered without a big matmul.
             psi_cat = (kappa - u) / omega
         else:

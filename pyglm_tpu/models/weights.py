@@ -317,7 +317,8 @@ def _auto_group(N_pre: int, B: int = 4) -> int:
 def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
                                hyp: EdgeHypers, B: int, t_chunk: int = 512,
                                precision: str = "highest",
-                               group: int | None = None, psi=None, Jg=None):
+                               group: int | None = None, psi=None, Jg=None,
+                               Xt=None):
     """Collapsed spike-and-slab for all neurons in residual (T-) space.
 
     Instead of materializing the full (N, P, P) Gram stack (O(N^3 T B^2)
@@ -360,9 +361,16 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
             Jg = _gram_shard_map(Xf, omega, B, G, t_chunk, precision,
                                  mesh, pallas_ok)
         elif pallas_ok and len(jax.devices()) == 1:
-            from pyglm_tpu.ops.gram_pallas import group_gram_blocks_pallas
-            Jg = group_gram_blocks_pallas(Xf, omega, B, G, t_chunk=t_chunk,
-                                          fast=(precision == "default"))
+            from pyglm_tpu.ops.gram_pallas import (
+                group_gram_blocks_pallas, group_gram_blocks_pallas_t)
+            if Xt is not None:
+                Jg = group_gram_blocks_pallas_t(
+                    Xt, omega, B, G, t_chunk=None,
+                    fast=(precision == "default"))
+            else:
+                Jg = group_gram_blocks_pallas(
+                    Xf, omega, B, G, t_chunk=t_chunk,
+                    fast=(precision == "default"))
         else:
             Jg = group_gram_blocks(Xf, omega, B, G, t_chunk=t_chunk,
                                    precision=precision)  # (Ng, N, GB, GB)
@@ -391,10 +399,17 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
         u, w = carry
         g, kg, mu0g, Lam0g, ld0g, lrhog, Jgg = xs
         sl = g * GB
-        Xg = lax.dynamic_slice(Xf, (0, sl), (T, GB))           # (T, GB)
+        if Xt is not None:
+            # At-rest transposed design: a group's columns are contiguous
+            # ROWS of Xt — no strided (T, GB) gather per group.
+            Xg_t = lax.dynamic_slice(Xt, (sl, 0), (GB, T))     # (GB, T)
+            M0 = jnp.dot(Xg_t, u, preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)      # (GB, N)
+        else:
+            Xg = lax.dynamic_slice(Xf, (0, sl), (T, GB))       # (T, GB)
+            M0 = jnp.dot(Xg.T, u, preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)      # (GB, N)
         wg = lax.dynamic_slice(w, (sl, 0), (GB, N))            # (GB, N)
-        M0 = jnp.dot(Xg.T, u, preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)          # (GB, N)
         gkeys = jax.random.split(kg, G)
 
         def edge(carry_i, xs_i):
@@ -421,9 +436,15 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
         xs_i = (jnp.arange(G), gkeys, mu0g, Lam0g, ld0g, lrhog)
         (dW, wg_new), a_g = lax.scan(
             edge, (jnp.zeros((GB, N), jnp.float32), wg), xs_i)
-        u = u - omega * jnp.dot(Xg, dW,
-                                preferred_element_type=jnp.float32,
-                                precision=lax.Precision.HIGHEST)
+        if Xt is not None:
+            XdW = lax.dot_general(
+                Xg_t, dW, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST)               # (T, N)
+        else:
+            XdW = jnp.dot(Xg, dW, preferred_element_type=jnp.float32,
+                          precision=lax.Precision.HIGHEST)
+        u = u - omega * XdW
         w = lax.dynamic_update_slice(w, wg_new, (sl, 0))
         return (u, w), a_g
 

@@ -27,7 +27,24 @@ def _mm(a_, b_):
         preferred_element_type=jnp.float32)
 
 
-def _gram_kernel_fast(xt_ref, om_ref, out_ref):
+def _load_x(xt_ref, om_ref, T):
+    """Load the chunk's design block, zeroing the partial edge block.
+
+    The design is NOT time-padded (that would copy 320 MB per sweep at
+    flagship scale); the edge block's out-of-range lanes contain undefined
+    VMEM data, so they are where-masked to exact zeros. Omega IS padded
+    (zeros) to the chunk boundary by the caller, so 0 * 0 = 0 keeps the
+    accumulated Gram exact."""
+    t = pl.program_id(1)
+    tc = om_ref.shape[0]
+    x = xt_ref[:]
+    if T is not None and T % tc != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + t * tc
+        x = jnp.where(col < T, x, 0.0)
+    return x
+
+
+def _gram_kernel_fast(xt_ref, om_ref, out_ref, *, T=None):
     """Single bf16 MXU pass: ~8e-4 relative error on the stats. This is the
     opt-in speed mode (model precision='default'); statistically validated
     against the f32 path in the acceptance harness, but not bitwise-f32."""
@@ -37,13 +54,13 @@ def _gram_kernel_fast(xt_ref, om_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    x = xt_ref[:]
+    x = _load_x(xt_ref, om_ref, T)
     GB, tc = x.shape
     Z = (x[:, None, :] * x[None, :, :]).reshape(GB * GB, tc)
     out_ref[0] += _mm(Z, om_ref[:])
 
 
-def _gram_kernel_f32(xt_ref, om_ref, out_ref):
+def _gram_kernel_f32(xt_ref, om_ref, out_ref, *, T=None):
     """Manual bf16x3 (~f32-accurate; Mosaic has no HIGH lowering)."""
     t = pl.program_id(1)
 
@@ -51,7 +68,7 @@ def _gram_kernel_f32(xt_ref, om_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    x = xt_ref[:]
+    x = _load_x(xt_ref, om_ref, T)
     GB, tc = x.shape
     Z = (x[:, None, :] * x[None, :, :]).reshape(GB * GB, tc)
     om = om_ref[:]
@@ -67,22 +84,45 @@ def group_gram_blocks_pallas(Xf, omega, B: int, G: int, t_chunk: int = 512,
                              fast: bool = False):
     """Drop-in for group_gram_blocks on TPU: (Ng, N, GB, GB) blocks.
     Requires (G*B) % 8 == 0. fast=True: single-bf16-pass stats (~8e-4 rel)."""
-    kernel = _gram_kernel_fast if fast else _gram_kernel_f32
     T, P = Xf.shape
     N_pre = (P - 1) // B
+    n_chunks = -(-T // t_chunk)
+    pad_t = n_chunks * t_chunk - T
+    Xt = jnp.pad(Xf[:, : N_pre * B], ((0, pad_t), (0, 0))).T  # (P-1, Tpad)
+    Op = jnp.pad(omega, ((0, pad_t), (0, 0)))
+    return group_gram_blocks_pallas_t(Xt, Op, B, G, t_chunk=t_chunk,
+                                      fast=fast)
+
+
+@partial(jax.jit, static_argnames=("B", "G", "t_chunk", "fast"))
+def group_gram_blocks_pallas_t(Xt, omega, B: int, G: int,
+                               t_chunk: int | None = None,
+                               fast: bool = False):
+    """Same as group_gram_blocks_pallas but consuming the TRANSPOSED design
+    (P, T) or (N_pre*B, T) — the at-rest layout GLMData caches — so no
+    per-sweep transpose of the 320 MB design."""
+    kernel = _gram_kernel_fast if fast else _gram_kernel_f32
+    P, T = Xt.shape
+    assert omega.shape[0] == T, (Xt.shape, omega.shape)
+    N_pre = P // B          # trailing bias row (if present) is ignored
     assert N_pre % G == 0
     Ng = N_pre // G
     GB = G * B
     assert GB % 8 == 0, f"G*B={GB} must be a multiple of 8 for the kernel"
     N = omega.shape[1]
+    if t_chunk is None:
+        t_chunk = 512
     n_chunks = -(-T // t_chunk)
     pad_t = n_chunks * t_chunk - T
     Npad = -(-N // 128) * 128
-    Xt = jnp.pad(Xf[:, : N_pre * B], ((0, pad_t), (0, 0))).T  # (P-1, Tpad)
+    # The design is NOT padded (no 320 MB copy): its partial edge block is
+    # masked in-kernel, and its trailing bias row (P = N_pre*B + 1) sits in
+    # sublane block index Ng which the grid never touches. Omega IS padded
+    # to the chunk boundary (zeros) in the same cheap pad as its lane pad.
     Op = jnp.pad(omega, ((0, pad_t), (0, Npad - N)))
 
     out = pl.pallas_call(
-        kernel,
+        partial(kernel, T=T),
         grid=(Ng, n_chunks),
         in_specs=[
             pl.BlockSpec((GB, t_chunk), lambda g, t: (g, t),

@@ -73,6 +73,7 @@ def glm_shardings(mesh: Mesh, state: GLMState, datas: tuple):
     )
     data_sh = tuple(
         GLMData(Y=ns("time", "neuron"), Xf=ns("time", None),
+                Xt=None if d.Xt is None else ns(None, "time"),
                 Gg0=None if d.Gg0 is None else rep,
                 Gfull=None if d.Gfull is None else rep,
                 XtY=None if d.XtY is None else ns(None, "neuron"))
