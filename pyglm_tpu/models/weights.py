@@ -346,6 +346,33 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
     Ng = N_pre // G
     GB = G * B
 
+    # Fully-fused kernel path (ops/ss_pallas.py): Gram + residual update +
+    # in-kernel edge scan in ONE pallas pass — u/omega/design each streamed
+    # once per group. Single-chip TPU only; the mesh path and the XLA path
+    # keep the staged structure below.
+    import os
+    from pyglm_tpu.parallel.sharding import active_mesh as _am
+    if (Xt is not None and Jg is None and psi is not None
+            and precision in ("default", "high")
+            and GB % 8 == 0 and B <= 8
+            and _use_pallas_gram() and len(jax.devices()) == 1
+            and _am() is None
+            and os.environ.get("PYGLM_SS_BACKEND") != "xla"):
+        from pyglm_tpu.ops.ss_pallas import resample_spike_slab_fused
+        k_kern, k_bias = jax.random.split(key)
+        A, w_nb, u, sum_om = resample_spike_slab_fused(
+            k_kern, Xt, omega, kappa, psi, w_full[: N_pre * B],
+            hyp.mu, hyp.Lam, hyp.logit_rho, B, G, t_chunk=t_chunk,
+            fast=(precision == "default"))
+        b_old = w_full[P - 1]
+        m_b = jnp.sum(u, axis=0) + sum_om * b_old + hyp.lam_b * hyp.mu_b
+        lam_p = hyp.lam_b + sum_om
+        b_new = (m_b / lam_p
+                 + jax.random.normal(k_bias, (N,)) / jnp.sqrt(lam_p))
+        u = u - omega * (b_new - b_old)[None, :]
+        w = jnp.concatenate([w_nb, b_new[None, :]], axis=0)
+        return A, w, u, sum_om
+
     if Jg is None:
         # Fused Gram kernel: fast=True (single bf16 pass, ~8e-4 rel) for
         # the opt-in speed mode; fast=False (in-kernel bf16x3, ~7e-7 rel —

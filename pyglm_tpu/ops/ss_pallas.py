@@ -1,0 +1,373 @@
+"""Fully-fused spike-and-slab sweep kernel: Gram + residual update + the
+per-edge collapsed Gibbs, in ONE Pallas pass over the data.
+
+The residual-space update (models/weights.py resample_spike_slab_tspace)
+pays, per presyn group g: one Gram accumulation stream of omega (the
+separate gram kernel), one gather matmul M0 = Xg'u, and one scatter pass
+u -= omega * (Xg dW) — each a full (T, N) stream, ~17 ms total at flagship
+scale. This kernel restructures the whole update as a single pallas_call
+with grid (Ng + 1, n_chunks), pipelined one group deep:
+
+  step (g, t):  [t == 0: run the collapsed Gibbs EDGE SCAN for group g-1
+                 in-kernel — Jgg/M0 for g-1 are complete, the dW it draws
+                 is applied on the fly below]
+                u_chunk -= omega_chunk * (X_{g-1} dW_{g-1})     (scatter)
+                M0_g   += X_g' u_chunk                          (gather)
+                Jgg_g  += sum_t X_g X_g' omega_chunk            (Gram)
+
+so u, omega, and the design are each streamed ONCE per group (~260 MB vs
+~430 MB), the Gram shares omega's stream with the scatter, and the ~200
+sequential per-edge conditional draws run on VMEM-resident (B, N) rows with
+no kernel-launch latency at all. The math is identical to
+resample_spike_slab_tspace (reference: pyglm/regressions.py _resample_A_W —
+same collapsed conditionals); only the execution schedule differs, and the
+RNG stream is the in-kernel hardware PRNG instead of jax.random (parity is
+statistical, as for the PG kernels — tests/test_ss_fused.py).
+
+Precision: M0 and the scatter matmul run bf16x3 (~f32-grade, the same
+manual splitting as ops/gram_pallas.py) in every mode; the Gram runs a
+single bf16 pass for precision='default' and bf16x3 for 'high'.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PI = 3.141592653589793
+
+
+def _uniform(shape):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (
+        1.0 / 16777216.0)
+    return u + (1.0 / 33554432.0)
+
+
+def _normal_rows(n_rows, npad):
+    """(n_rows, npad) standard normals from Box-Muller pairs."""
+    assert n_rows % 2 == 0
+    half = n_rows // 2
+    u1 = _uniform((8 * ((half + 7) // 8), npad))
+    u2 = _uniform((8 * ((half + 7) // 8), npad))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    th = 2.0 * _PI * u2
+    z1 = r * jnp.cos(th)
+    z2 = r * jnp.sin(th)
+    return jnp.concatenate([z1[:half], z2[:half]], axis=0)
+
+
+def _mm(a, b):
+    return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _mm_t(a, b):
+    """a (K, M), b (K, N) -> a' b (M, N)."""
+    return lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _split3(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mm3(a, b):
+    """bf16x3 a @ b — ~f32-grade without Precision.HIGH (no Mosaic lowering)."""
+    ahi, alo = _split3(a)
+    bhi, blo = _split3(b)
+    return _mm(ahi, bhi) + _mm(ahi, blo) + _mm(alo, bhi)
+
+
+def _mm3_t(a, b):
+    ahi, alo = _split3(a)
+    bhi, blo = _split3(b)
+    return _mm_t(ahi, bhi) + _mm_t(ahi, blo) + _mm_t(alo, bhi)
+
+
+def _edge_scan(G, B, npad, jgg, m0s, w_ref, mu_ref, lam_ref, lrho_ref,
+               dw_ref, wout_ref, aout_ref):
+    """The collapsed Gibbs over one group's G edges, unrolled (static i).
+
+    All operands are (rows, npad) VMEM slabs with postsyn neurons on lanes:
+      jgg  (GB*GB, npad)  completed within-group Gram, rows p*GB+q
+      m0s  (GB, npad)     completed gather X_g' u
+      w_ref   (GB, npad)  current weights of the group (input block)
+      mu_ref  (G*B, npad), lam_ref (G*B*B, npad), lrho_ref (G, npad)
+    Writes dw_ref (GB, npad) = w_new - w_old, wout_ref, aout_ref (G, npad).
+
+    Math identical to weights._batched_evidence + the edge body of
+    resample_spike_slab_tspace; B-dimension unrolled as lane-parallel row
+    algebra (each L[b][c] is one (npad,) row vector).
+    """
+    GB = G * B
+    # dw still holds the PREVIOUS group's deltas (the scatter just consumed
+    # them); this group's within-scan correction starts from zero.
+    dw_ref[:, :] = jnp.zeros_like(dw_ref)
+
+    def row(ref, r):
+        return ref[r, :]
+
+    for i in range(G):
+        iB = i * B
+        # --- linear term m[b] = M0[iB+b] - (Jrow dW)[b] + (Jii w_i)[b] ----
+        Jrow = jgg[i * B * GB:(i + 1) * B * GB, :]       # (B*GB, npad)
+        dW = dw_ref[:, :]                                # (GB, npad)
+        wi = [row(w_ref, iB + b) for b in range(B)]
+        Jii = [[row(jgg, (iB + b) * GB + iB + c) for c in range(B)]
+               for b in range(B)]
+        m = []
+        for b in range(B):
+            corr = jnp.sum(Jrow[b * GB:(b + 1) * GB, :] * dW, axis=0)
+            own = jnp.zeros((npad,), jnp.float32)
+            for c in range(B):
+                own = own + Jii[b][c] * wi[c]
+            m.append(row(m0s, iB + b) - corr + own)
+
+        mu0 = [row(mu_ref, iB + b) for b in range(B)]
+        Lam0 = [[row(lam_ref, i * B * B + b * B + c) for c in range(B)]
+                for b in range(B)]
+
+        # --- chol of Lam0 (for logdet) and of Lp = Lam0 + Jii ------------
+        def chol(A):
+            L = [[None] * B for _ in range(B)]
+            for j in range(B):
+                s = A[j][j]
+                for k in range(j):
+                    s = s - L[j][k] * L[j][k]
+                d = jnp.sqrt(jnp.maximum(s, 1e-30))
+                L[j][j] = d
+                inv_d = 1.0 / d
+                for r in range(j + 1, B):
+                    s2 = A[r][j]
+                    for k in range(j):
+                        s2 = s2 - L[r][k] * L[j][k]
+                    L[r][j] = s2 * inv_d
+            return L
+
+        L0 = chol(Lam0)
+        Lp = chol([[Lam0[b][c] + Jii[b][c] for c in range(B)]
+                   for b in range(B)])
+
+        ld0 = sum(jnp.log(L0[b][b]) for b in range(B))
+        ldp = sum(jnp.log(Lp[b][b]) for b in range(B))
+
+        # bpost = m + Lam0 mu0;  z = Lp^{-1} bpost  (forward solve)
+        bpost = []
+        for b in range(B):
+            s = m[b]
+            for c in range(B):
+                s = s + Lam0[b][c] * mu0[c]
+            bpost.append(s)
+        z = [None] * B
+        for b in range(B):
+            s = bpost[b]
+            for k in range(b):
+                s = s - Lp[b][k] * z[k]
+            z[b] = s / Lp[b][b]
+        quad_p = 0.5 * sum(zz * zz for zz in z)
+        quad_0 = jnp.zeros((npad,), jnp.float32)
+        for b in range(B):
+            for c in range(B):
+                quad_0 = quad_0 + mu0[b] * Lam0[b][c] * mu0[c]
+        quad_0 = 0.5 * quad_0
+
+        log_odds = row(lrho_ref, i) + quad_p - quad_0 + ld0 - ldp
+        # logistic via exp of the negative |x| branch (numerically safe)
+        p_acc = 1.0 / (1.0 + jnp.exp(-log_odds))
+        u_a = _uniform((8, npad))[0]
+        a = jnp.where(u_a < p_acc, 1.0, 0.0)
+
+        # posterior mean mu_p = Lp^{-T} z, draw = mu_p + Lp^{-T} eps
+        eps_rows = _normal_rows(B if B % 2 == 0 else B + 1, npad)
+        w_new = []
+        # back-substitution for both z and eps in one pass
+        tmp_mu = [None] * B
+        tmp_ep = [None] * B
+        for b in reversed(range(B)):
+            s_mu = z[b]
+            s_ep = eps_rows[b]
+            for k in range(b + 1, B):
+                s_mu = s_mu - Lp[k][b] * tmp_mu[k]
+                s_ep = s_ep - Lp[k][b] * tmp_ep[k]
+            tmp_mu[b] = s_mu / Lp[b][b]
+            tmp_ep[b] = s_ep / Lp[b][b]
+        for b in range(B):
+            w_new.append(a * (tmp_mu[b] + tmp_ep[b]))
+
+        for b in range(B):
+            dw_ref[iB + b, :] = w_new[b] - wi[b]
+            wout_ref[iB + b, :] = w_new[b]
+        aout_ref[i, :] = a
+
+
+def _make_kernel(Ng, G, B, npad, T, tc, fast):
+    GB = G * B
+
+    def kernel(seed_ref,
+               xg_ref, xp_ref, om_ref, u_ref, w_ref, mu_ref, lam_ref,
+               lrho_ref,
+               uout_ref, wout_ref, aout_ref, sumom_ref,
+               jgg, m0s, dw):
+        g = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when((g == 0) & (t == 0))
+        def _():
+            pltpu.prng_seed(seed_ref[0], seed_ref[1])
+            sumom_ref[:] = jnp.zeros_like(sumom_ref)
+            dw[:, :] = jnp.zeros_like(dw)
+
+        # ---- group boundary: edge scan for group g-1 --------------------
+        @pl.when((t == 0) & (g > 0))
+        def _():
+            _edge_scan(G, B, npad, jgg[:, :], m0s[:, :], w_ref, mu_ref,
+                       lam_ref, lrho_ref, dw, wout_ref, aout_ref)
+
+        @pl.when(t == 0)
+        def _():
+            # fresh accumulators for group g (scan above consumed g-1's)
+            jgg[:, :] = jnp.zeros_like(jgg)
+            m0s[:, :] = jnp.zeros_like(m0s)
+
+        om = om_ref[:]                                   # (tc, npad)
+
+        # ---- apply group g-1's dW to this chunk (scatter); dw == 0 at
+        # g == 0, so this is the identity there and uout is always written.
+        xp = xp_ref[:]                                   # (GB, tc)
+        if T % tc != 0:
+            colp = lax.broadcasted_iota(jnp.int32, xp.shape, 1) + t * tc
+            xp = jnp.where(colp < T, xp, 0.0)
+        u_new = u_ref[:] - om * _mm3_t(xp, dw[:, :])
+        uout_ref[:] = u_new
+
+        # ---- accumulate M0 / Jgg for group g (skip on the epilogue) -----
+        @pl.when(g < Ng)
+        def _():
+            xg = xg_ref[:]                               # (GB, tc)
+            if T % tc != 0:
+                col = lax.broadcasted_iota(jnp.int32, xg.shape, 1) + t * tc
+                xg = jnp.where(col < T, xg, 0.0)
+            m0s[:, :] += _mm3(xg, u_new)
+            Z = (xg[:, None, :] * xg[None, :, :]).reshape(GB * GB, tc)
+            if fast:
+                jgg[:, :] += _mm(Z.astype(jnp.bfloat16),
+                                 om.astype(jnp.bfloat16))
+            else:
+                jgg[:, :] += _mm3(Z, om)
+
+            @pl.when(g == 0)
+            def _():
+                sumom_ref[0, :] += jnp.sum(om, axis=0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("B", "G", "t_chunk", "fast"))
+def resample_spike_slab_fused(key, Xt, omega, kappa, psi, w_nb, hyp_mu,
+                              hyp_lam, hyp_lrho, B: int, G: int,
+                              t_chunk: int = 512, fast: bool = False):
+    """One fused pass of the grouped collapsed spike-and-slab update.
+
+    Args:
+      Xt: (P, T) transposed design (only the first N_pre*B rows are used).
+      omega, kappa, psi: (T, N).
+      w_nb: (N_pre*B, N) current non-bias weights (packed, presyn-major).
+      hyp_mu: (N_pre, N, B); hyp_lam: (N_pre, N, B, B); hyp_lrho: (N_pre, N).
+    Returns (A (N_pre, N), w_nb_new, u (T, N), sum_om (N,)) — the bias
+    column update stays with the caller (it needs sum(u) after this pass).
+    """
+    P, T = Xt.shape
+    N = omega.shape[1]
+    N_pre = P // B
+    assert N_pre % G == 0
+    Ng = N_pre // G
+    GB = G * B
+    npad = -(-N // 128) * 128
+    tc = t_chunk
+    n_chunks = -(-T // tc)
+    pad_t = n_chunks * tc - T
+    pad_n = npad - N
+
+    u0 = kappa - omega * psi
+    u0 = jnp.pad(u0, ((0, pad_t), (0, pad_n)))
+    om = jnp.pad(omega, ((0, pad_t), (0, pad_n)))
+    w0 = jnp.pad(w_nb, ((0, 0), (0, pad_n)))
+    # hypers to lane-major slabs; pad lanes of Lam with IDENTITY so the
+    # in-kernel cholesky stays NaN-free there (outputs are sliced to N).
+    mu_rows = hyp_mu.transpose(0, 2, 1).reshape(N_pre * B, N)
+    mu_rows = jnp.pad(mu_rows, ((0, 0), (0, pad_n)))
+    lam_rows = hyp_lam.transpose(0, 2, 3, 1).reshape(N_pre * B * B, N)
+    eye_col = jnp.tile(jnp.eye(B, dtype=jnp.float32).reshape(B * B, 1),
+                       (N_pre, 1))
+    lam_rows = jnp.concatenate(
+        [lam_rows, jnp.broadcast_to(eye_col, (N_pre * B * B, pad_n))], axis=1)
+    # lrho / A are G rows per group; pad each group's slab to a multiple
+    # of 8 sublanes (G is only guaranteed to make G*B a multiple of 8).
+    G8 = -(-G // 8) * 8
+    lrho_rows = jnp.pad(hyp_lrho.reshape(Ng, G, N),
+                        ((0, 0), (0, G8 - G), (0, pad_n))
+                        ).reshape(Ng * G8, npad)
+
+    seed = jax.random.key_data(key).astype(jnp.uint32)[:2].astype(jnp.int32)
+    kernel = _make_kernel(Ng, G, B, npad, T, tc, fast)
+
+    def ix_g(g, t):
+        return (jnp.minimum(g, Ng - 1), t)
+
+    def ix_prev(g, t):
+        return (jnp.maximum(g - 1, 0), t)
+
+    def ix_prev_g(g, t):
+        return (jnp.maximum(g - 1, 0), 0)
+
+    u_out, w_out, a_out, sumom = pl.pallas_call(
+        kernel,
+        grid=(Ng + 1, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((GB, tc), ix_g, memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, tc), ix_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, npad), lambda g, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, npad), lambda g, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, npad), ix_prev_g, memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, npad), ix_prev_g, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * B * B, npad), ix_prev_g,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G8, npad), ix_prev_g, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tc, npad), lambda g, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, npad), ix_prev_g, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G8, npad), ix_prev_g, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, npad), lambda g, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks * tc, npad), jnp.float32),
+            jax.ShapeDtypeStruct((N_pre * B, npad), jnp.float32),
+            jax.ShapeDtypeStruct((Ng * G8, npad), jnp.float32),
+            jax.ShapeDtypeStruct((8, npad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GB * GB, npad), jnp.float32),
+            pltpu.VMEM((GB, npad), jnp.float32),
+            pltpu.VMEM((GB, npad), jnp.float32),
+        ],
+        input_output_aliases={4: 0},      # u0 buffer reused as u output
+    )(seed, Xt, Xt, om, u0, w0, mu_rows, lam_rows, lrho_rows)
+
+    u = u_out[:T, :N]
+    w_new = w_out[:, :N]
+    A = a_out.reshape(Ng, G8, npad)[:, :G, :N].reshape(N_pre, N)
+    sum_om = sumom[0, :N]
+    return A, w_new, u, sum_om

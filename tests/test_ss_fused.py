@@ -1,0 +1,93 @@
+"""Statistical parity of the fully-fused spike-and-slab kernel
+(ops/ss_pallas.py) against the staged XLA/Pallas path.
+
+The fused kernel draws with the in-kernel hardware PRNG, so parity is
+distributional (independent streams): per-edge acceptance probabilities and
+per-coefficient weight means are compared with pooled two-sample z-scores.
+Runs only on real TPU (PYGLM_TEST_TPU=1), like the PG kernel suite.
+"""
+import os
+
+import numpy as np
+import pytest
+
+if not os.environ.get("PYGLM_TEST_TPU"):
+    pytest.skip("TPU-only lane (set PYGLM_TEST_TPU=1)",
+                allow_module_level=True)
+
+import jax
+import jax.numpy as jnp
+
+import pyglm_tpu as pt
+from pyglm_tpu.models.weights import (pack_weights,
+                                      resample_spike_slab_tspace)
+
+
+@pytest.mark.parametrize("precision", ["high", "default"])
+def test_fused_matches_staged_distribution(precision):
+    N, T, B, L = 24, 4000, 4, 10
+    true = pt.SparseBernoulliGLM(
+        N, B=B, L=L, seed=3,
+        net_kwargs=dict(rho_init=0.2, learn_rho=False, mu_bias=-2.0))
+    Y = true.generate(T, keep=False)
+    m = pt.SparseBernoulliGLM(N, B=B, L=L, seed=0)
+    m.add_data(Y)
+    d = m.datas[0]
+    st = m.state
+    w0 = pack_weights(st.A, st.W, st.b)
+    hyp = m.network.edge_hypers(st.net)
+    psi = jnp.dot(d.Xf, w0, preferred_element_type=jnp.float32)
+    om, ka = m.observation.omega_kappa(jax.random.key(1), d.Y, psi, st.aux)
+
+    @jax.jit
+    def run_fused(k):
+        return resample_spike_slab_tspace(
+            k, d.Xf, om, ka, w0, hyp, B, precision=precision, psi=psi,
+            Xt=d.Xt)
+
+    @jax.jit
+    def run_staged(k):
+        return resample_spike_slab_tspace(
+            k, d.Xf, om, ka, w0, hyp, B, precision=precision, psi=psi,
+            Xt=None)
+
+    R = 250
+    keys = jax.random.split(jax.random.key(7), R)
+    Af_s = np.zeros((N, N))
+    Ax_s = np.zeros((N, N))
+    wf_s = wx_s = wf2 = wx2 = 0.0
+    uf0 = None
+    for i in range(R):
+        Af, wf, uf, _ = run_fused(keys[i])
+        Ax, wx, _, _ = run_staged(keys[i])
+        if i == 0:
+            uf0 = (np.asarray(uf), np.asarray(wf))
+        Af_s += np.asarray(Af)
+        Ax_s += np.asarray(Ax)
+        wf = np.asarray(wf)
+        wx = np.asarray(wx)
+        wf_s = wf_s + wf
+        wx_s = wx_s + wx
+        wf2 = wf2 + wf * wf
+        wx2 = wx2 + wx * wx
+
+    # invariant: u is the exact residual of the NEW weights
+    u1, w1 = uf0
+    psi_new = (np.asarray(ka) - u1) / np.asarray(om)
+    psi_direct = np.asarray(d.Xf) @ w1
+    rel = np.max(np.abs(psi_new - psi_direct)) / np.max(np.abs(psi_direct))
+    assert rel < 5e-3, rel
+
+    pf, px = Af_s / R, Ax_s / R
+    pool = (pf + px) / 2
+    se = np.sqrt(np.maximum(2 * pool * (1 - pool) / R, 1e-12)) + 1e-4
+    zA = np.max(np.abs(pf - px) / se)
+    # 576 simultaneous tests: Bonferroni 5.2 is a ~1e-4 family-wise level
+    assert zA < 5.2, f"acceptance mismatch: max pooled |z| = {zA}"
+
+    mf, mx = wf_s / R, wx_s / R
+    vf = wf2 / R - mf * mf
+    vx = wx2 / R - mx * mx
+    sew = np.sqrt(np.maximum((vf + vx) / R, 0)) + 1e-6
+    zw = np.max(np.abs(mf - mx) / sew)
+    assert zw < 5.5, f"weight-mean mismatch: max |z| = {zw}"
