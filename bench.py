@@ -25,8 +25,8 @@ CPU_BASELINE_SWEEPS_PER_SEC = 0.002254
 N, T, B, L = 200, 100_000, 4, 10
 # N_TIMED amortizes the ~30 ms axon-tunnel readback that ends each timed
 # run (block_until_ready does not block on axon; the sync is a host
-# readback) — at 25 scanned sweeps/run it attributes ~1 ms/sweep.
-N_WARMUP, N_TIMED = 2, 25
+# readback) — at 50 scanned sweeps/run it attributes ~0.6 ms/sweep.
+N_WARMUP, N_TIMED = 2, 50
 
 
 def main():

@@ -259,8 +259,8 @@ _SEG = 4096
 _MAX_EXTRACT = 64
 
 
-_EXTRACT_R = 8      # failure columns resolved per compacted segment/phase
-_COMPACT_K = 2048   # failing segments gathered per phase
+_EXTRACT_R = 5      # failure columns resolved per compacted segment/phase
+_COMPACT_K = 1024   # failing segments gathered per phase
 
 
 def _finish_by_extraction(key, arrs2, out2, fail2, draw_fn):

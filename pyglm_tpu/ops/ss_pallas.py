@@ -91,22 +91,38 @@ def _mm3_t(a, b):
     return _mm_t(ahi, bhi) + _mm_t(ahi, blo) + _mm_t(alo, bhi)
 
 
+def _pair_offsets(G, B):
+    """Row offsets of the packed upper block-triangle Gram: block (I, J)
+    with I <= J stored as B*B rows (b-major) at offs[(I, J)]."""
+    offs = {}
+    r = 0
+    for I in range(G):
+        for J in range(I, G):
+            offs[(I, J)] = r
+            r += B * B
+    return offs, r
+
+
 def _edge_scan(G, B, npad, jgg, m0s, w_ref, mu_ref, lam_ref, lrho_ref,
                dw_ref, wout_ref, aout_ref):
     """The collapsed Gibbs over one group's G edges, unrolled (static i).
 
     All operands are (rows, npad) VMEM slabs with postsyn neurons on lanes:
-      jgg  (GB*GB, npad)  completed within-group Gram, rows p*GB+q
+      jgg  (n_packed, npad) completed within-group Gram, PACKED upper
+           block-triangle (see _pair_offsets) — J[(IB+b),(JB+c)] for I <= J
+           at row offs[(I,J)] + b*B + c; the lower triangle is read through
+           the transposed block.
       m0s  (GB, npad)     completed gather X_g' u
       w_ref   (GB, npad)  current weights of the group (input block)
-      mu_ref  (G*B, npad), lam_ref (G*B*B, npad), lrho_ref (G, npad)
-    Writes dw_ref (GB, npad) = w_new - w_old, wout_ref, aout_ref (G, npad).
+      mu_ref  (G*B, npad), lam_ref (G*B*B, npad), lrho_ref (G8, npad)
+    Writes dw_ref (GB, npad) = w_new - w_old, wout_ref, aout_ref.
 
     Math identical to weights._batched_evidence + the edge body of
     resample_spike_slab_tspace; B-dimension unrolled as lane-parallel row
     algebra (each L[b][c] is one (npad,) row vector).
     """
     GB = G * B
+    offs, _ = _pair_offsets(G, B)
     # dw still holds the PREVIOUS group's deltas (the scatter just consumed
     # them); this group's within-scan correction starts from zero.
     dw_ref[:, :] = jnp.zeros_like(dw_ref)
@@ -114,17 +130,27 @@ def _edge_scan(G, B, npad, jgg, m0s, w_ref, mu_ref, lam_ref, lrho_ref,
     def row(ref, r):
         return ref[r, :]
 
+    def blk(I, J):
+        """(B, B, npad) view of Gram block (I, J), any order of I, J."""
+        if I <= J:
+            o = offs[(I, J)]
+            return jgg[o:o + B * B, :].reshape(B, B, npad)
+        o = offs[(J, I)]
+        return jgg[o:o + B * B, :].reshape(B, B, npad).transpose(1, 0, 2)
+
     for i in range(G):
         iB = i * B
         # --- linear term m[b] = M0[iB+b] - (Jrow dW)[b] + (Jii w_i)[b] ----
-        Jrow = jgg[i * B * GB:(i + 1) * B * GB, :]       # (B*GB, npad)
         dW = dw_ref[:, :]                                # (GB, npad)
         wi = [row(w_ref, iB + b) for b in range(B)]
-        Jii = [[row(jgg, (iB + b) * GB + iB + c) for c in range(B)]
-               for b in range(B)]
+        blk_ii = blk(i, i)
+        Jii = [[blk_ii[b, c] for c in range(B)] for b in range(B)]
         m = []
         for b in range(B):
-            corr = jnp.sum(Jrow[b * GB:(b + 1) * GB, :] * dW, axis=0)
+            corr = jnp.zeros((npad,), jnp.float32)
+            for J in range(G):
+                corr = corr + jnp.sum(
+                    blk(i, J)[b] * dW[J * B:(J + 1) * B, :], axis=0)
             own = jnp.zeros((npad,), jnp.float32)
             for c in range(B):
                 own = own + Jii[b][c] * wi[c]
@@ -255,7 +281,16 @@ def _make_kernel(Ng, G, B, npad, T, tc, fast):
                 col = lax.broadcasted_iota(jnp.int32, xg.shape, 1) + t * tc
                 xg = jnp.where(col < T, xg, 0.0)
             m0s[:, :] += _mm3(xg, u_new)
-            Z = (xg[:, None, :] * xg[None, :, :]).reshape(GB * GB, tc)
+            # packed upper block-triangle Z: half the MXU rows of the
+            # full (GB*GB) expansion, all slabs B*B-row aligned
+            pieces = []
+            for I in range(G):
+                xI = xg[I * B:(I + 1) * B, :]
+                for J in range(I, G):
+                    xJ = xg[J * B:(J + 1) * B, :]
+                    pieces.append(
+                        (xI[:, None, :] * xJ[None, :, :]).reshape(B * B, tc))
+            Z = jnp.concatenate(pieces, axis=0)
             if fast:
                 jgg[:, :] += _mm(Z.astype(jnp.bfloat16),
                                  om.astype(jnp.bfloat16))
@@ -359,7 +394,7 @@ def resample_spike_slab_fused(key, Xt, omega, kappa, psi, w_nb, hyp_mu,
             jax.ShapeDtypeStruct((8, npad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((GB * GB, npad), jnp.float32),
+            pltpu.VMEM((G * (G + 1) // 2 * B * B, npad), jnp.float32),
             pltpu.VMEM((GB, npad), jnp.float32),
             pltpu.VMEM((GB, npad), jnp.float32),
         ],
