@@ -393,15 +393,20 @@ class LatentDistanceConfig:
     hmc_steps: int = 50
     hmc_iters: int = 10         # HMC trajectories per Gibbs sweep (cheap:
                                 # each costs O(N^2) vs the sweep's O(N^2 T B))
-    # Metropolis PAIR-SWAP moves on the positions, run after HMC each
-    # sweep. HMC transports the embedding locally; swapping l_i <-> l_j is
-    # the discrete move that escapes wrong-neighbor local modes (the
+    # Discrete position moves run after HMC each sweep — HMC transports
+    # the embedding locally but cannot jump between embedding modes (the
     # round-2 config-5 analysis measured a fresh-chain AUC plateau of
-    # ~0.81 against a 0.96 truth-initialized ceiling — an embedding mode
-    # gap, not an identifiability limit). Each proposal is a symmetric
-    # exchange accepted on the A-likelihood restricted to rows/cols {i,j}
-    # — O(N) per proposal, exact MH.
+    # ~0.80 against a 0.96 truth-initialized ceiling). Both are exact MH
+    # on the A-likelihood restricted to the touched rows/cols, O(N) per
+    # proposal:
+    #  * swap_moves: symmetric l_i <-> l_j exchanges (cross terms cancel
+    #    — the swapped pair's distance is unchanged);
+    #  * relocate_moves: independence proposals l_i' ~ N(0, sigma_l^2 I)
+    #    — the proposal equals the prior, so the prior and proposal
+    #    densities cancel and a mis-placed neuron can jump straight into
+    #    its correct basin.
     swap_moves: int = 0
+    relocate_moves: int = 0
     mu_bias: object = -2.0       # scalar | (N,)
     sigma_bias: object = 1.0     # scalar | (N,)
     learn_weight_prior: bool = True
@@ -492,6 +497,9 @@ class LatentDistanceConfig:
 
         if self.swap_moves > 0:
             L = self._swap_scan(jax.random.fold_in(k_hmc, 1), L, gamma, A)
+        if self.relocate_moves > 0:
+            L = self._relocate_scan(jax.random.fold_in(k_hmc, 2), L,
+                                    gamma, A)
 
         mu, Sigma = state.mu, state.Sigma
         if self.learn_weight_prior:
@@ -499,27 +507,32 @@ class LatentDistanceConfig:
         return LatentDistanceState(L, gamma, mu, Sigma,
                                    jnp.mean(accepts))
 
+    @staticmethod
+    def _row_ll(L, gamma, i_pos, i_idx, A):
+        """Bernoulli log-likelihood of all directed edges touching neuron
+        i_idx when it sits at i_pos — the restricted potential of the
+        single-site moves. The (i, i) self term appears in both the out-
+        and in-sums and is subtracted once."""
+        d2 = jnp.sum((i_pos[None, :] - L) ** 2, axis=-1)           # (N,)
+        lr = gamma - d2
+        ll_out = jnp.sum(A[i_idx, :] * lr - jnp.logaddexp(lr, 0.0))
+        ll_in = jnp.sum(A[:, i_idx] * lr - jnp.logaddexp(lr, 0.0))
+        self_t = A[i_idx, i_idx] * lr[i_idx] - jnp.logaddexp(
+            lr[i_idx], 0.0)
+        return ll_out + ll_in - self_t
+
     def _swap_scan(self, key, L, gamma, A):
         """self.swap_moves sequential Metropolis l_i <-> l_j exchanges.
 
         The swap changes only rows/cols {i, j} of the edge-probability
         matrix, and the position prior is exchangeable, so the MH ratio is
-        the Bernoulli log-likelihood delta of those rows/cols:
-            ll(i) = sum_m A[i,m] lrho(i,m) - softplus(lrho(i,m))  (+ col).
+        the Bernoulli log-likelihood delta of those rows/cols.
         Each proposal costs O(N dim); self-pairs (i == j) are no-ops.
         """
         N = self.N
 
         def row_ll(L, i_pos, i_idx, A):
-            # directed edges i->m and m->i, excluding the (i,i) self term
-            # once (it appears in both sums).
-            d2 = jnp.sum((i_pos[None, :] - L) ** 2, axis=-1)       # (N,)
-            lr = gamma - d2
-            ll_out = jnp.sum(A[i_idx, :] * lr - jnp.logaddexp(lr, 0.0))
-            ll_in = jnp.sum(A[:, i_idx] * lr - jnp.logaddexp(lr, 0.0))
-            self_t = A[i_idx, i_idx] * lr[i_idx] - jnp.logaddexp(
-                lr[i_idx], 0.0)
-            return ll_out + ll_in - self_t
+            return self._row_ll(L, gamma, i_pos, i_idx, A)
 
         def step(L, k):
             k_ij, k_a = jax.random.split(k)
@@ -537,6 +550,29 @@ class LatentDistanceConfig:
             return jnp.where(accept, L_prop, L), None
 
         L, _ = lax.scan(step, L, jax.random.split(key, self.swap_moves))
+        return L
+
+    def _relocate_scan(self, key, L, gamma, A):
+        """self.relocate_moves sequential independence-Metropolis moves:
+        propose l_i' ~ N(0, sigma_l^2 I) (the prior), accept on the
+        restricted A-likelihood. Because proposal == prior, the prior and
+        proposal densities cancel exactly; the move lets a neuron stuck in
+        the wrong embedding basin jump directly to a better one, which
+        leapfrog transport cannot do."""
+        N = self.N
+
+        def step(L, k):
+            k_i, k_p, k_a = jax.random.split(k, 3)
+            i = jax.random.randint(k_i, (), 0, N)
+            l_new = self.sigma_l * jax.random.normal(k_p, (self.dim,))
+            ll_cur = self._row_ll(L, gamma, L[i], i, A)
+            L_prop = L.at[i].set(l_new)
+            ll_new = self._row_ll(L_prop, gamma, l_new, i, A)
+            accept = jnp.log(jax.random.uniform(k_a, ())) < ll_new - ll_cur
+            return jnp.where(accept, L_prop, L), accept.astype(jnp.float32)
+
+        L, accs = lax.scan(step, L,
+                           jax.random.split(key, self.relocate_moves))
         return L
 
 

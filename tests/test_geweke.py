@@ -118,6 +118,7 @@ def test_geweke_latent_distance():
     net = LatentDistanceConfig(
         N=N, B=B, dim=2, sigma_l=sigma_l, sigma_gamma=1.0,
         hmc_eps=0.05, hmc_steps=10, hmc_iters=3, swap_moves=4,
+        relocate_moves=4,
         learn_weight_prior=False, sigma_w=0.5, mu_bias=-1.0, sigma_bias=0.3)
     # collect L stats through a custom chain (geweke_chain reports generic
     # scalars; positions live in state.net.L)
