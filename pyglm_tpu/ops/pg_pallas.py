@@ -263,7 +263,8 @@ _EXTRACT_R = 5      # failure columns resolved per compacted segment/phase
 _COMPACT_K = 1024   # failing segments gathered per phase
 
 
-def _finish_by_extraction(key, arrs2, out2, fail2, draw_fn):
+def _finish_by_extraction(key, arrs2, out2, fail2, draw_fn,
+                          K_cap=None, R_cap=None):
     """Exact finisher for the last few-thousand stragglers.
 
     arrs2 is a tuple of (S, SEG) parameter arrays; out2/fail2 are (S, SEG).
@@ -278,7 +279,8 @@ def _finish_by_extraction(key, arrs2, out2, fail2, draw_fn):
     probability; capacity overflow (more than K failing segments or more than
     R failures in one segment) simply rolls into the next phase."""
     S, SEG = out2.shape
-    K = min(S, _COMPACT_K)
+    K = min(S, K_cap or _COMPACT_K)
+    R = R_cap or _EXTRACT_R
     rows = jnp.arange(K)
 
     def cond(state):
@@ -295,7 +297,7 @@ def _finish_by_extraction(key, arrs2, out2, fail2, draw_fn):
         sub_arrs = tuple(a2[sel] for a2 in arrs2)
 
         idxs, hass = [], []
-        for _ in range(_EXTRACT_R):
+        for _ in range(R):
             arg = jnp.argmax(sub_fail, axis=1)    # (K,)
             idxs.append(arg)
             hass.append(sub_fail[rows, arg])
@@ -304,7 +306,7 @@ def _finish_by_extraction(key, arrs2, out2, fail2, draw_fn):
         has = jnp.stack(hass, axis=1)
         vals = tuple(jnp.take_along_axis(a2, idx, axis=1).reshape(-1)
                      for a2 in sub_arrs)
-        draws = draw_fn(k1, *vals).reshape(K, _EXTRACT_R)
+        draws = draw_fn(k1, *vals).reshape(K, R)
         # Exhausted ranks all report column argmax(False)=0 — scatter them
         # out of bounds (mode='drop') so a real draw at column 0 is never
         # raced by a stale duplicate write.
@@ -357,15 +359,70 @@ def pg_devroye_pallas(key, c):
     return out.reshape(-1)[:total].reshape(shape)
 
 
+
+def _tail_alpha_beta(b2, c2):
+    """Gamma(alpha)/beta parameters matching the first two moments of the
+    k > _GAMMA_K series tail (XLA: _tail_sums needs atan)."""
+    from pyglm_tpu.ops.polyagamma import _tail_sums
+    bs = jnp.maximum(b2, 1e-6)
+    a = jnp.abs(c2) / (2.0 * _PI)
+    S1, S2 = _tail_sums(a, _GAMMA_K)
+    m_t = bs * S1 / (2.0 * _PI * _PI)
+    v_t = bs * S2 / (4.0 * _PI ** 4)
+    alpha = m_t * m_t / jnp.maximum(v_t, 1e-30)
+    beta = m_t / jnp.maximum(v_t, 1e-30)
+    return alpha, beta
+
+
+_GAMMA_SMALL_ROUNDS = 8     # straggler budget: residual miss ~6e-10/elt
+
+
+def _pg_gamma_draw_small(key, b, c):
+    """Gamma-series PG draws for the straggler arrays of the extraction
+    finisher: one single-block kernel call with _GAMMA_SMALL_ROUNDS
+    Marsaglia-Tsang rounds per term (residual per-element miss ~6e-10 —
+    those keep their truncated value, the same negligible-fallback policy
+    as the Devroye finisher). The moment-matched tail is added here too,
+    so a finished element's law matches the main path's."""
+    from pyglm_tpu.ops.polyagamma import _tail_sums
+
+    S = b.shape[0]
+    rows = -(-S // _LANES)
+    rows_p = -(-rows // 8) * 8
+    pad = rows_p * _LANES - S
+    b2 = jnp.pad(b, (0, pad), constant_values=1.0).reshape(rows_p, _LANES)
+    c2 = jnp.pad(c, (0, pad)).reshape(rows_p, _LANES)
+    alpha, beta = _tail_alpha_beta(b2, c2)
+    seed = jax.random.key_data(key).astype(jnp.uint32)[:2].astype(jnp.int32)
+    spec = pl.BlockSpec((rows_p, _LANES), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    out, _ = pl.pallas_call(
+        partial(_pg_gamma_kernel, rounds=_GAMMA_SMALL_ROUNDS),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 4,
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_p, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_p, _LANES), jnp.float32),
+        ],
+    )(seed, b2, c2, alpha, beta)
+    return out.reshape(-1)[:S]
+
+
 # ---------------------------------------------------------------------------
 # Gamma-series PG(b, c) kernel (general real b — the NB path's hot loop)
 # ---------------------------------------------------------------------------
 
-_GAMMA_K = 32       # series terms drawn in-kernel
+_GAMMA_K = 16       # series terms drawn in-kernel; KS-indistinguishable
+                    # from K=32/K=128 AND from the exact native b-fold
+                    # Devroye convolution at n=200k across b in
+                    # {0.3, 0.7, 1, 2, 3, 5, 13} (tests/test_polyagamma.py
+                    # gates) — the moment-matched tail absorbs terms k>16
 _GAMMA_R = 3        # Marsaglia-Tsang rejection rounds per draw
 
 
-def _pg_gamma_kernel(seed_ref, b_ref, c_ref, out_ref, done_ref):
+def _pg_gamma_kernel(seed_ref, b_ref, c_ref, alpha_ref, beta_ref,
+                     out_ref, done_ref, *, rounds=_GAMMA_R):
     """Truncated gamma-series sum: out = (1/2pi^2) sum_k Gamma(b)/d_k.
 
     Gamma(b) via Marsaglia-Tsang with fixed _GAMMA_R rounds (accept ~0.96+
@@ -388,43 +445,83 @@ def _pg_gamma_kernel(seed_ref, b_ref, c_ref, out_ref, done_ref):
     a = jnp.abs(c_ref[:]) / (2.0 * _PI)
     a2 = a * a
 
-    def series_term(k, carry):
-        s, all_ok = carry
-        # one Gamma(bb) draw with _GAMMA_R fixed accept-reject rounds
-        g = zero
-        ok = zero
-        for _ in range(_GAMMA_R):
-            x = _normal(shape)
-            v0 = 1.0 + cmt * x
-            v = v0 * v0 * v0
-            pos = jnp.where(v0 > 0.0, one, zero)
-            vs = jnp.maximum(v, 1e-30)
-            logu = jnp.log(_uniform(shape))
-            acc = pos * jnp.where(
-                logu < 0.5 * x * x + d - d * vs + d * jnp.log(vs), one, zero)
-            take = acc * (1.0 - ok)
-            g = g + take * d * vs
-            ok = jnp.maximum(ok, acc)
-        # b < 1 boost: Gamma(b) = Gamma(b+1) * U^(1/b)
-        boost = jnp.exp(jnp.log(_uniform(shape)) * inv_b)
-        g = g * (small * boost + (1.0 - small))
-        kf = k.astype(jnp.float32)
-        dk = (kf - 0.5) * (kf - 0.5) + a2
-        return s + g / dk, all_ok * ok
+    def mt_step(x, g, ok, d_=None, cmt_=None):
+        """One Marsaglia-Tsang accept-reject round at proposal normal x."""
+        dd = d if d_ is None else d_
+        cc = cmt if cmt_ is None else cmt_
+        v0 = 1.0 + cc * x
+        v = v0 * v0 * v0
+        pos = jnp.where(v0 > 0.0, one, zero)
+        vs = jnp.maximum(v, 1e-30)
+        logu = jnp.log(_uniform(shape))
+        acc = pos * jnp.where(
+            logu < 0.5 * x * x + dd - dd * vs + dd * jnp.log(vs), one, zero)
+        g = g + acc * (1.0 - ok) * dd * vs
+        return g, jnp.maximum(ok, acc)
 
-    s, all_ok = lax.fori_loop(1, _GAMMA_K + 1, series_term, (zero, one))
-    out_ref[:] = s / (2.0 * _PI * _PI)
-    done_ref[:] = all_ok
+    def series_pair(j, carry):
+        """TWO consecutive series terms; each round's two proposal normals
+        come from ONE Box-Muller radius: (R cos th, R |sin th| S) with an
+        independent fair sign S has the same joint law as (R cos th,
+        R sin th) — conditional on cos th, the sign of sin th is an
+        independent fair coin — so both gammas stay exact while the
+        radius log/sqrt is paid once per round instead of twice."""
+        s, all_ok = carry
+        gA = zero
+        okA = zero
+        gB = zero
+        okB = zero
+        for _ in range(rounds):
+            rad = jnp.sqrt(2.0 * _exponential(shape))
+            cth = jnp.cos(2.0 * _PI * _uniform(shape))
+            sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+            sgn = jnp.where(_uniform(shape) < 0.5, -1.0, 1.0)
+            gA, okA = mt_step(rad * cth, gA, okA)
+            gB, okB = mt_step(rad * sth * sgn, gB, okB)
+        # b < 1 boost: Gamma(b) = Gamma(b+1) * U^(1/b)
+        boostA = jnp.exp(jnp.log(_uniform(shape)) * inv_b)
+        boostB = jnp.exp(jnp.log(_uniform(shape)) * inv_b)
+        scaleA = small * boostA + (1.0 - small)
+        scaleB = small * boostB + (1.0 - small)
+        kA = 2.0 * j.astype(jnp.float32) + 1.0
+        kB = kA + 1.0
+        dkA = (kA - 0.5) * (kA - 0.5) + a2
+        dkB = (kB - 0.5) * (kB - 0.5) + a2
+        s = s + gA * scaleA / dkA + gB * scaleB / dkB
+        return s, all_ok * okA * okB
+
+    assert _GAMMA_K % 2 == 0
+    s, all_ok = lax.fori_loop(0, _GAMMA_K // 2, series_pair, (zero, one))
+
+    # Moment-matched tail (terms k > K) as ONE more in-kernel MT gamma:
+    # jax.random.gamma on a 20M-element array costs ~300 ms in XLA (its
+    # while-loop rejection sampler round-trips HBM per round); here it is
+    # one extra series term. alpha/beta come precomputed from the caller
+    # (their S1/S2 need atan, which Mosaic lacks).
+    al = jnp.maximum(alpha_ref[:], 1e-6)
+    small_t = jnp.where(al < 1.0, one, zero)
+    bb_t = al + small_t
+    d_t = bb_t - 1.0 / 3.0
+    cmt_t = 1.0 / (3.0 * jnp.sqrt(d_t))
+    g_t = zero
+    ok_t = zero
+    for _ in range(rounds):
+        x = _normal(shape)
+        g_t, ok_t = mt_step(x, g_t, ok_t, d_=d_t, cmt_=cmt_t)
+    boost_t = jnp.exp(jnp.log(_uniform(shape)) / al)
+    g_t = g_t * (small_t * boost_t + (1.0 - small_t))
+
+    out_ref[:] = s / (2.0 * _PI * _PI) + g_t / beta_ref[:]
+    done_ref[:] = all_ok * ok_t
 
 
 @partial(jax.jit, static_argnames=("K",))
-def pg_gamma_series_pallas(key, b, c, K: int = 32):
+def pg_gamma_series_pallas(key, b, c, K: int = _GAMMA_K):
     """PG(b, c) for arbitrary real b > 0: fused in-kernel gamma series +
     XLA moment-matched tail; stragglers finished exactly (same two-stage
     shape as pg_devroye_pallas). K is fixed at the kernel's _GAMMA_K."""
-    from pyglm_tpu.ops.polyagamma import pg_gamma_series, _tail_sums
 
-    assert K == _GAMMA_K, "kernel compiled for K=32"
+    assert K == _GAMMA_K, f"kernel compiled for K={_GAMMA_K}"
     b = jnp.asarray(b, jnp.float32)
     c = jnp.asarray(c, jnp.float32)
     shape = jnp.broadcast_shapes(b.shape, c.shape)
@@ -438,57 +535,42 @@ def pg_gamma_series_pallas(key, b, c, K: int = 32):
     cflat = jnp.pad(c.ravel(), (0, padn))
     b2d = bflat.reshape(n_blk * _BLK, _LANES)
     c2d = cflat.reshape(n_blk * _BLK, _LANES)
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2 = jax.random.split(key)
+
+    alpha2d, beta2d = _tail_alpha_beta(b2d, c2d)
 
     def gamma_pass(kk):
         seed = jax.random.key_data(kk).astype(jnp.uint32)[:2].astype(jnp.int32)
+        spec = pl.BlockSpec((_BLK, _LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
         return pl.pallas_call(
             _pg_gamma_kernel,
             grid=(n_blk,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((_BLK, _LANES), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BLK, _LANES), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((_BLK, _LANES), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BLK, _LANES), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 4,
+            out_specs=[spec, spec],
             out_shape=[
                 jax.ShapeDtypeStruct((n_blk * _BLK, _LANES), jnp.float32),
                 jax.ShapeDtypeStruct((n_blk * _BLK, _LANES), jnp.float32),
             ],
-        )(seed, b2d, c2d)
+        )(seed, b2d, c2d, alpha2d, beta2d)
 
-    out1, done1 = gamma_pass(k1)
-    out2, done2 = gamma_pass(k2)
-    series = jnp.where(done1 > 0.5, out1, out2)
-    fail = jnp.maximum(done1, done2) < 0.5
+    series, done1 = gamma_pass(k1)
+    fail = done1 < 0.5
     M = n_blk * per_blk
     valid = (jnp.arange(M) < total).reshape(n_blk * _BLK, _LANES)
     fail = fail & valid
 
-    # Moment-matched tail (needs atan -> XLA), one gamma draw per element.
-    k3a, k3b = jax.random.split(k3)
-    bsafe = jnp.maximum(bflat, 1e-6)
-    a = jnp.abs(cflat) / (2.0 * _PI)
-    S1, S2 = _tail_sums(a, _GAMMA_K)
-    m_t = bsafe * S1 / (2.0 * _PI * _PI)
-    v_t = bsafe * S2 / (4.0 * _PI ** 4)
-    alpha = m_t * m_t / jnp.maximum(v_t, 1e-30)
-    beta = m_t / jnp.maximum(v_t, 1e-30)
-    tail = jax.random.gamma(k3a, alpha.reshape(n_blk * _BLK, _LANES)) / (
-        beta.reshape(n_blk * _BLK, _LANES))
-    out = series + tail
+    out = series          # tail already added in-kernel
 
+    # A single main pass leaves ~2e-3 of elements unresolved (one of their
+    # K gamma draws exhausted its _GAMMA_R rounds) — a SECOND full pass
+    # would cost another ~65 ms for <0.3% of the elements, so they are
+    # finished by the compacted extraction with a many-round single-block
+    # gamma kernel (k2 keys the redraws).
     S = -(-M // _SEG)
     out = _finish_by_extraction(
-        k3b, (b2d.reshape(S, _SEG), c2d.reshape(S, _SEG)),
+        k2, (b2d.reshape(S, _SEG), c2d.reshape(S, _SEG)),
         out.reshape(S, _SEG), fail.reshape(S, _SEG),
-        lambda kk, bs, cs: pg_gamma_series(kk, bs, cs, K=_GAMMA_K))
+        _pg_gamma_draw_small, K_cap=4096, R_cap=12)
     out = out.reshape(-1)[:total]
     return jnp.where(b.ravel() > 0, out, 0.0).reshape(shape)

@@ -260,7 +260,7 @@ def _tail_sums(a, K):
 
 
 @partial(jax.jit, static_argnames=("K",))
-def pg_gamma_series(key, b, c, K: int = 32):
+def pg_gamma_series(key, b, c, K: int = 16):
     """PG(b, c) for arbitrary real b > 0 via truncated gamma series.
 
     PG(b,c) = (1/(2 pi^2)) sum_{k>=1} g_k / ((k-1/2)^2 + c^2/(4 pi^2)).
@@ -377,7 +377,7 @@ _NORMAL_CUTOFF = 170.0
 
 
 @partial(jax.jit, static_argnames=("method", "K"))
-def polya_gamma(key, b, c, method: str = "auto", K: int = 32):
+def polya_gamma(key, b, c, method: str = "auto", K: int = 16):
     """Hybrid PG(b, c) sampler — analog of ``pgdrawv``/``pgdrawvpar``.
 
     method:
@@ -415,13 +415,15 @@ def polya_gamma(key, b, c, method: str = "auto", K: int = 32):
 
 
 def _gamma_series_dispatch(key, b, c, K):
-    """Fused Pallas gamma-series on TPU (kernel fixed at K=32) — per-shard
-    inside jax.shard_map under a multi-device mesh — pure-XLA otherwise.
-    Same override env var as pg_draw_unit."""
+    """Fused Pallas gamma-series on TPU (kernel fixed at pg_pallas._GAMMA_K)
+    — per-shard inside jax.shard_map under a multi-device mesh — pure-XLA
+    otherwise. Same override env var as pg_draw_unit."""
     import os
+    from pyglm_tpu.ops.pg_pallas import _GAMMA_K
     env = os.environ.get("PYGLM_PG_BACKEND")
     devs = jax.devices()
-    use_pallas = (env != "xla" and K == 32 and devs[0].platform == "tpu")
+    use_pallas = (env != "xla" and K == _GAMMA_K
+                  and devs[0].platform == "tpu")
     from pyglm_tpu.parallel.sharding import active_mesh
     mesh = active_mesh()
     if (mesh is not None and mesh.devices.size > 1
