@@ -154,6 +154,17 @@ def crt_sample(key, y, r, max_y: int):
     y = jnp.asarray(y)
     r = jnp.broadcast_to(jnp.asarray(r, jnp.float32), y.shape)
 
+    # Fused kernel on single-chip TPU (max_y rng/compare passes fuse to one
+    # VMEM loop); XLA path elsewhere and under a mesh.
+    import os
+    if (os.environ.get("PYGLM_PG_BACKEND") != "xla"
+            and jax.devices()[0].platform == "tpu"
+            and len(jax.devices()) == 1):
+        from pyglm_tpu.parallel.sharding import active_mesh
+        if active_mesh() is None:
+            from pyglm_tpu.ops.pg_pallas import crt_sample_pallas
+            return crt_sample_pallas(key, y, r, max_y)
+
     def body(i, carry):
         l, key = carry
         key, sub = jax.random.split(key)

@@ -574,3 +574,56 @@ def pg_gamma_series_pallas(key, b, c, K: int = _GAMMA_K):
         _pg_gamma_draw_small, K_cap=4096, R_cap=12)
     out = out.reshape(-1)[:total]
     return jnp.where(b.ravel() > 0, out, 0.0).reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# CRT (Chinese-restaurant-table) count kernel — the NB dispersion aux
+# ---------------------------------------------------------------------------
+
+
+def _crt_kernel(seed_ref, y_ref, r_ref, out_ref, *, max_y):
+    """l = sum_{i=0}^{y-1} Bernoulli(r / (r + i)) in VMEM — the XLA path
+    (ops/linalg.py crt_sample) pays max_y separate 80 MB rng/compare
+    passes; here the whole table loop runs on registers (f32 masks — no
+    i1 vectors on Mosaic)."""
+    pid = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + pid * 1000003, seed_ref[1] + pid)
+    shape = y_ref.shape
+    y = y_ref[:]
+    r = r_ref[:]
+    zero = jnp.zeros(shape, jnp.float32)
+
+    def body(i, l):
+        fi = i.astype(jnp.float32)
+        u = _uniform(shape)
+        p = r / (r + fi)
+        take = jnp.where(u < p, 1.0, 0.0) * jnp.where(fi < y, 1.0, 0.0)
+        return l + take
+
+    out_ref[:] = lax.fori_loop(0, max_y, body, zero)
+
+
+@partial(jax.jit, static_argnames=("max_y",))
+def crt_sample_pallas(key, y, r, max_y: int):
+    """Fused CRT table counts; y (any shape), r broadcastable to y."""
+    y = jnp.asarray(y, jnp.float32)
+    r = jnp.broadcast_to(jnp.asarray(r, jnp.float32), y.shape)
+    shape = y.shape
+    total = y.size
+    per_blk = _BLK * _LANES
+    n_blk = -(-total // per_blk)
+    padn = n_blk * per_blk - total
+    y2 = jnp.pad(y.ravel(), (0, padn)).reshape(n_blk * _BLK, _LANES)
+    r2 = jnp.pad(r.ravel(), (0, padn),
+                 constant_values=1.0).reshape(n_blk * _BLK, _LANES)
+    seed = jax.random.key_data(key).astype(jnp.uint32)[:2].astype(jnp.int32)
+    spec = pl.BlockSpec((_BLK, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_crt_kernel, max_y=max_y),
+        grid=(n_blk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n_blk * _BLK, _LANES), jnp.float32),
+    )(seed, y2, r2)
+    return out.reshape(-1)[:total].reshape(shape).astype(jnp.int32)

@@ -98,3 +98,22 @@ def test_gram_pallas_matches_xla():
     af = np.asarray(group_gram_blocks_pallas(Xf, omega, B, G, t_chunk=256,
                                              fast=True), np.float64)
     assert np.abs(af - b).max() / scale < 5e-3, np.abs(af - b).max() / scale
+
+
+def test_crt_kernel_matches_xla():
+    """CRT table counts: the fused kernel's distribution must match the
+    XLA path's (exact Bernoulli-sum law; mean/var within MC tolerance)."""
+    from pyglm_tpu.ops.pg_pallas import crt_sample_pallas
+    from pyglm_tpu.ops.linalg import crt_sample
+    n = 200_000
+    for y_val, r_val in [(1, 0.5), (4, 2.0), (12, 5.0), (15, 0.7)]:
+        y = jnp.full((n,), y_val, jnp.int32)
+        r = jnp.full((n,), float(r_val))
+        lp = np.asarray(crt_sample_pallas(jax.random.key(1), y, r, 16))
+        # exact law: mean = sum_i r/(r+i), var = sum p(1-p)
+        ps = np.array([r_val / (r_val + i) for i in range(y_val)])
+        m, v = ps.sum(), (ps * (1 - ps)).sum()
+        se = np.sqrt(v / n) + 1e-6
+        assert abs(lp.mean() - m) < 6 * se + 1e-3, (y_val, r_val, lp.mean(), m)
+        if v > 1e-6:
+            assert abs(lp.var() / v - 1) < 0.05, (y_val, r_val, lp.var(), v)
