@@ -343,6 +343,9 @@ def pg_devroye_pallas(key, c):
     flat = flat.reshape(n_blk * _BLK, _LANES)
     k1, k3 = jax.random.split(key)
 
+    # 2 fused rounds + compacted extraction measured best: a 1-round pass
+    # with a beefier finisher loses ~14 ms to multi-phase extraction over
+    # ~110k stragglers (0.55% round-1 failure).
     out, done = _kernel_pass(k1, flat, n_blk)
     fail = done < 0.5
 
