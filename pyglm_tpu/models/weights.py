@@ -360,10 +360,13 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
             and os.environ.get("PYGLM_SS_BACKEND") != "xla"):
         from pyglm_tpu.ops.ss_pallas import resample_spike_slab_fused
         k_kern, k_bias = jax.random.split(key)
+        # 1024-row chunks measured ~1.5-2 ms/sweep faster than 512 at
+        # flagship scale (fewer grid steps amortize the per-step pipeline
+        # work); chunk size only affects the kernel's schedule, not stats.
         A, w_nb, u, sum_om = resample_spike_slab_fused(
             k_kern, Xt, omega, kappa, psi, w_full[: N_pre * B],
-            hyp.mu, hyp.Lam, hyp.logit_rho, B, G, t_chunk=t_chunk,
-            fast=(precision == "default"))
+            hyp.mu, hyp.Lam, hyp.logit_rho, B, G,
+            t_chunk=max(t_chunk, 1024), fast=(precision == "default"))
         b_old = w_full[P - 1]
         m_b = jnp.sum(u, axis=0) + sum_om * b_old + hyp.lam_b * hyp.mu_b
         lam_p = hyp.lam_b + sum_om
