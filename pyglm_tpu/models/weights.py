@@ -213,6 +213,49 @@ def diag_blocks(Xf, omega, B: int, t_chunk: int = 512,
     return acc.reshape(N_pre, B, B, N).transpose(0, 3, 1, 2)
 
 
+def _group_edge_scan(kg, Jgg, M0, wg, mu0g, Lam0g, ld0g, lrhog,
+                     G: int, B: int):
+    """Collapsed Gibbs over one group's G presyn blocks, vectorized over all
+    postsyn neurons (the sequential-in-G heart of the spike-and-slab update,
+    shared by the staged path and the mesh-sharded fused path).
+
+    Args:
+      Jgg: (N, GB, GB) within-group Gram for every postsyn neuron.
+      M0, wg: (GB, N) gather stats / current group weights.
+      mu0g: (G, N, B); Lam0g: (G, N, B, B); ld0g, lrhog: (G, N).
+    Returns (dW (GB, N) = w_new - w_old, wg_new (GB, N), a_g (G, N)).
+    """
+    GB = G * B
+    N = M0.shape[1]
+    gkeys = jax.random.split(kg, G)
+
+    def edge(carry_i, xs_i):
+        dW, w_cur = carry_i        # (GB, N) delta vs wg, current (GB,N)
+        i, ki, mu0i, Lam0i, ld0i, lrhoi = xs_i
+        k1, k2 = jax.random.split(ki)
+        li = i * B
+        Jrow = lax.dynamic_slice(Jgg, (0, li, 0), (N, B, GB))
+        Jii = lax.dynamic_slice(Jgg, (0, li, li), (N, B, B))
+        wi = lax.dynamic_slice(w_cur, (li, 0), (B, N))     # (B, N)
+        M0i = lax.dynamic_slice(M0, (li, 0), (B, N))
+        m = (M0i.T - jnp.einsum("nbq,qn->nb", Jrow, dW)
+             + jnp.einsum("nbc,cn->nb", Jii, wi))
+        log_ev, mu_p, Cp = _batched_evidence(m, Jii, mu0i, Lam0i, ld0i)
+        a = jax.random.bernoulli(k1, logistic(lrhoi + log_ev))
+        eps = jax.random.normal(k2, (N, B))
+        w_draw = mu_p + solve_lower_t_small(Cp, eps)
+        w_new = jnp.where(a[:, None], w_draw, 0.0)         # (N, B)
+        # each edge visited once per sweep: its dW row is simply new-old
+        dW = lax.dynamic_update_slice(dW, w_new.T - wi, (li, 0))
+        w_cur = lax.dynamic_update_slice(w_cur, w_new.T, (li, 0))
+        return (dW, w_cur), a.astype(jnp.float32)
+
+    xs_i = (jnp.arange(G), gkeys, mu0g, Lam0g, ld0g, lrhog)
+    (dW, wg_new), a_g = lax.scan(
+        edge, (jnp.zeros((GB, N), jnp.float32), wg), xs_i)
+    return dW, wg_new, a_g
+
+
 def _batched_evidence(m, Jjj, mu0, Lam0, ld0_half):
     """Vectorized collapsed evidence for one presyn block across all
     postsyn neurons: m (N,B), Jjj (N,B,B), mu0 (N,B), Lam0 (N,B,B).
@@ -300,6 +343,142 @@ def _gram_shard_map(Xf, omega, B, G, t_chunk, precision, mesh, use_pallas):
         out_specs=P(None, "neuron", None, None), check_vma=False)(Xf, omega)
 
 
+def _ss_fused_shard_map(key, Xt, omega, kappa, psi, w_full, hyp: EdgeHypers,
+                        B: int, G: int, mesh, t_chunk: int, precision: str):
+    """Mesh-sharded fused spike-and-slab update (VERDICT r2 item #1).
+
+    Runs the whole collapsed update inside ONE jax.shard_map over the
+    ('time','neuron') mesh. Per group of G presyn neurons, each device runs
+    a fused scatter+gather+Gram pass over its local time slice — the Pallas
+    group kernel (ops/ss_pallas.py ss_group_pass_pallas) on TPU, the
+    equivalent XLA matmuls elsewhere — then Jgg/M0 psum over the time axis
+    and the collapsed edge scan (_group_edge_scan, the same Geweke-tested
+    conditionals as the staged path) runs replicated across time shards on
+    each device's local postsyn lanes. RNG: the key is folded with the
+    neuron-shard index, so postsyn draws are independent across neuron
+    shards and bit-identical across time shards (their scatters agree).
+    """
+    from jax.sharding import PartitionSpec as PS
+    from pyglm_tpu.ops.ss_pallas import ss_group_pass_pallas, ss_group_pass_tc
+
+    T, N = omega.shape
+    Pdim = w_full.shape[0]
+    N_pre = (Pdim - 1) // B
+    Ng = N_pre // G
+    GB = G * B
+    n_time = mesh.shape.get("time", 1)
+    n_neuron = mesh.shape.get("neuron", 1)
+    Tl = T // n_time
+    Nl = N // n_neuron
+    use_pallas = (_use_pallas_gram() and GB % 8 == 0 and B <= 8
+                  and precision in ("default", "high") and Tl >= 128)
+    fast = precision == "default"
+    prec = _PRECISIONS[precision]
+
+    def group_pass(Xp, Xg, u_c, om_loc, dW):
+        """(u_new, M0 (GB,Nl), Jgg (Nl,GB,GB)) for one group; u_c is padded
+        (Tpad, npad) on the Pallas branch, raw (Tl, Nl) on the XLA branch."""
+        if use_pallas:
+            npad = u_c.shape[1]
+            dW_p = jnp.pad(dW, ((0, 0), (0, npad - Nl)))
+            u_new, M0p, Jggp = ss_group_pass_pallas(
+                Xp, Xg, om_loc, u_c, dW_p, Tl,
+                t_chunk=t_chunk, fast=fast)
+            M0 = M0p[:, :Nl]
+            Jgg = Jggp[:, :Nl].reshape(GB, GB, Nl).transpose(2, 0, 1)
+            return u_new, M0, Jgg
+        u_new = u_c - om_loc * lax.dot_general(
+            Xp, dW, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
+        M0 = lax.dot_general(Xg, u_new, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=lax.Precision.HIGHEST)
+        Z = (Xg[:, None, :] * Xg[None, :, :]).reshape(GB * GB, Tl)
+        Jgg = jnp.dot(Z, om_loc, preferred_element_type=jnp.float32,
+                      precision=prec)
+        return u_new, M0, Jgg.reshape(GB, GB, Nl).transpose(2, 0, 1)
+
+    def shard_fn(k, xt, om, ka, ps, w, mu, lam, lrho, mu_b, lam_b):
+        n_idx = lax.axis_index("neuron")
+        k = jax.random.fold_in(k, n_idx)
+        keys = jax.random.split(k, Ng + 1)
+        u = ka - om * ps
+        C0 = chol_small(lam)                          # (Npre, Nl, B, B)
+        ld0_half = jnp.sum(
+            jnp.log(jnp.diagonal(C0, axis1=-2, axis2=-1)), axis=-1)
+
+        def regroup(x):
+            return x.reshape((Ng, G) + x.shape[1:])
+
+        mu_g, Lam_g = regroup(mu), regroup(lam)
+        ld0_g, lrho_g = regroup(ld0_half), regroup(lrho)
+        w_nb = w[: N_pre * B]
+
+        if use_pallas:
+            tc = ss_group_pass_tc(Tl, t_chunk)
+            pad_t = -(-Tl // tc) * tc - Tl
+            npad = -(-Nl // 128) * 128
+            om_loc = jnp.pad(om, ((0, pad_t), (0, npad - Nl)))
+            u_c = jnp.pad(u, ((0, pad_t), (0, npad - Nl)))
+        else:
+            om_loc = om
+            u_c = u
+
+        def body(carry, xs):
+            u_c, w_nb_c, dW_prev = carry
+            g, kg, mu0g, Lam0g, ld0g, lrhog = xs
+            gp = jnp.maximum(g - 1, 0)                 # dW_prev == 0 at g=0
+            Xp = lax.dynamic_slice(xt, (gp * GB, 0), (GB, Tl))
+            Xg = lax.dynamic_slice(xt, (g * GB, 0), (GB, Tl))
+            u_c, M0_loc, Jgg_loc = group_pass(Xp, Xg, u_c, om_loc, dW_prev)
+            M0 = lax.psum(M0_loc, "time")
+            Jgg = lax.psum(Jgg_loc, "time")
+            wg = lax.dynamic_slice(w_nb_c, (g * GB, 0), (GB, Nl))
+            dW, wg_new, a_g = _group_edge_scan(
+                kg, Jgg, M0, wg, mu0g, Lam0g, ld0g, lrhog, G, B)
+            w_nb_c = lax.dynamic_update_slice(w_nb_c, wg_new, (g * GB, 0))
+            return (u_c, w_nb_c, dW), a_g
+
+        xs = (jnp.arange(Ng), keys[:Ng], mu_g, Lam_g, ld0_g, lrho_g)
+        (u_c, w_nb, dW_last), A_g = lax.scan(
+            body, (u_c, w_nb, jnp.zeros((GB, Nl), jnp.float32)), xs)
+
+        # Epilogue: the last group's draws have not been scattered yet.
+        u = u_c[:Tl, :Nl] if use_pallas else u_c
+        Xl = lax.dynamic_slice(xt, ((Ng - 1) * GB, 0), (GB, Tl))
+        u = u - om * lax.dot_general(
+            Xl, dW_last, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
+
+        # Bias column (always active): X_bias = ones.
+        sum_om = lax.psum(jnp.sum(om, axis=0), "time")   # (Nl,)
+        b_old = w[Pdim - 1]
+        m_b = (lax.psum(jnp.sum(u, axis=0), "time")
+               + sum_om * b_old + lam_b * mu_b)
+        lam_p = lam_b + sum_om
+        b_new = (m_b / lam_p
+                 + jax.random.normal(keys[Ng], (Nl,)) / jnp.sqrt(lam_p))
+        u = u - om * (b_new - b_old)[None, :]
+        w_out = jnp.concatenate([w_nb, b_new[None, :]], axis=0)
+        A = A_g.reshape(N_pre, Nl)
+        return A, w_out, u, sum_om
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(PS(), PS(None, "time"), PS("time", "neuron"),
+                  PS("time", "neuron"), PS("time", "neuron"),
+                  PS(None, "neuron"), PS(None, "neuron", None),
+                  PS(None, "neuron", None, None), PS(None, "neuron"),
+                  PS("neuron"), PS("neuron")),
+        out_specs=(PS(None, "neuron"), PS(None, "neuron"),
+                   PS("time", "neuron"), PS("neuron")),
+        check_vma=False)
+    return fn(key, Xt, omega, kappa, psi, w_full, hyp.mu, hyp.Lam,
+              hyp.logit_rho, hyp.mu_b, hyp.lam_b)
+
+
 def _auto_group(N_pre: int, B: int = 4) -> int:
     """Divisor of N_pre balancing group-Gram FLOPs (~G) against residual
     HBM traffic (~1/G); on TPU prefer G*B % 8 == 0 so the fused Pallas Gram
@@ -313,12 +492,28 @@ def _auto_group(N_pre: int, B: int = 4) -> int:
     return min(divs, key=lambda g: (abs(g - 5), -g))
 
 
-@partial(jax.jit, static_argnames=("B", "t_chunk", "precision", "group"))
 def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
                                hyp: EdgeHypers, B: int, t_chunk: int = 512,
                                precision: str = "highest",
                                group: int | None = None, psi=None, Jg=None,
                                Xt=None):
+    """Collapsed spike-and-slab dispatcher: captures the active mesh as a
+    STATIC jit argument so the mesh-sharded and single-device traces can
+    never be served from each other's jit cache (they pick different code
+    paths at trace time). See _tspace_impl for the math."""
+    from pyglm_tpu.parallel.sharding import active_mesh
+    return _tspace_impl(key, Xf, omega, kappa, w_full, hyp, B=B,
+                        t_chunk=t_chunk, precision=precision, group=group,
+                        psi=psi, Jg=Jg, Xt=Xt, mesh=active_mesh())
+
+
+@partial(jax.jit, static_argnames=("B", "t_chunk", "precision", "group",
+                                   "mesh"))
+def _tspace_impl(key, Xf, omega, kappa, w_full,
+                 hyp: EdgeHypers, B: int, t_chunk: int = 512,
+                 precision: str = "highest",
+                 group: int | None = None, psi=None, Jg=None,
+                 Xt=None, mesh=None):
     """Collapsed spike-and-slab for all neurons in residual (T-) space.
 
     Instead of materializing the full (N, P, P) Gram stack (O(N^3 T B^2)
@@ -346,17 +541,29 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
     Ng = N_pre // G
     GB = G * B
 
+    import os
+
+    # Mesh path: the whole collapsed update inside one shard_map — fused
+    # per-group passes per device (Pallas on TPU shards), time-axis psums
+    # of Jgg/M0, replicated edge scan. No fallback-to-staged under a mesh
+    # (VERDICT r2 item #1).
+    if (mesh is not None and Xt is not None and Jg is None
+            and psi is not None
+            and T % mesh.shape.get("time", 1) == 0
+            and N % mesh.shape.get("neuron", 1) == 0
+            and os.environ.get("PYGLM_SS_BACKEND") != "xla"):
+        return _ss_fused_shard_map(key, Xt, omega, kappa, psi, w_full, hyp,
+                                   B, G, mesh, t_chunk, precision)
+
     # Fully-fused kernel path (ops/ss_pallas.py): Gram + residual update +
     # in-kernel edge scan in ONE pallas pass — u/omega/design each streamed
-    # once per group. Single-chip TPU only; the mesh path and the XLA path
-    # keep the staged structure below.
-    import os
-    from pyglm_tpu.parallel.sharding import active_mesh as _am
+    # once per group (single-chip; the monolithic kernel needs the full
+    # time axis resident to interleave its in-kernel edge scan).
     if (Xt is not None and Jg is None and psi is not None
             and precision in ("default", "high")
-            and GB % 8 == 0 and B <= 8
+            and GB % 8 == 0 and B <= 8 and T >= 384
             and _use_pallas_gram() and len(jax.devices()) == 1
-            and _am() is None
+            and mesh is None
             and os.environ.get("PYGLM_SS_BACKEND") != "xla"):
         from pyglm_tpu.ops.ss_pallas import resample_spike_slab_fused
         k_kern, k_bias = jax.random.split(key)
@@ -383,8 +590,6 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
         # precision='high'. 'highest' keeps the f32 XLA scan.
         pallas_ok = (_use_pallas_gram() and GB % 8 == 0
                      and precision in ("default", "high"))
-        from pyglm_tpu.parallel.sharding import active_mesh
-        mesh = active_mesh()
         if (mesh is not None and mesh.devices.size > 1
                 and T % mesh.shape.get("time", 1) == 0
                 and N % mesh.shape.get("neuron", 1) == 0):
@@ -396,7 +601,7 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
             if Xt is not None:
                 Jg = group_gram_blocks_pallas_t(
                     Xt, omega, B, G, t_chunk=None,
-                    fast=(precision == "default"))
+                    fast=(precision == "default"), n_pre=N_pre)
             else:
                 Jg = group_gram_blocks_pallas(
                     Xf, omega, B, G, t_chunk=t_chunk,
@@ -440,32 +645,8 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
             M0 = jnp.dot(Xg.T, u, preferred_element_type=jnp.float32,
                          precision=lax.Precision.HIGHEST)      # (GB, N)
         wg = lax.dynamic_slice(w, (sl, 0), (GB, N))            # (GB, N)
-        gkeys = jax.random.split(kg, G)
-
-        def edge(carry_i, xs_i):
-            dW, w_cur = carry_i        # (GB, N) delta vs wg, current (GB,N)
-            i, ki, mu0i, Lam0i, ld0i, lrhoi = xs_i
-            k1, k2 = jax.random.split(ki)
-            li = i * B
-            Jrow = lax.dynamic_slice(Jgg, (0, li, 0), (N, B, GB))
-            Jii = lax.dynamic_slice(Jgg, (0, li, li), (N, B, B))
-            wi = lax.dynamic_slice(w_cur, (li, 0), (B, N))     # (B, N)
-            M0i = lax.dynamic_slice(M0, (li, 0), (B, N))
-            m = (M0i.T - jnp.einsum("nbq,qn->nb", Jrow, dW)
-                 + jnp.einsum("nbc,cn->nb", Jii, wi))
-            log_ev, mu_p, Cp = _batched_evidence(m, Jii, mu0i, Lam0i, ld0i)
-            a = jax.random.bernoulli(k1, logistic(lrhoi + log_ev))
-            eps = jax.random.normal(k2, (N, B))
-            w_draw = mu_p + solve_lower_t_small(Cp, eps)
-            w_new = jnp.where(a[:, None], w_draw, 0.0)         # (N, B)
-            # each edge visited once per sweep: its dW row is simply new-old
-            dW = lax.dynamic_update_slice(dW, w_new.T - wi, (li, 0))
-            w_cur = lax.dynamic_update_slice(w_cur, w_new.T, (li, 0))
-            return (dW, w_cur), a.astype(jnp.float32)
-
-        xs_i = (jnp.arange(G), gkeys, mu0g, Lam0g, ld0g, lrhog)
-        (dW, wg_new), a_g = lax.scan(
-            edge, (jnp.zeros((GB, N), jnp.float32), wg), xs_i)
+        dW, wg_new, a_g = _group_edge_scan(
+            kg, Jgg, M0, wg, mu0g, Lam0g, ld0g, lrhog, G, B)
         if Xt is not None:
             XdW = lax.dot_general(
                 Xg_t, dW, (((0,), (0,)), ((), ())),

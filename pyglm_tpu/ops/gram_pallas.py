@@ -94,17 +94,21 @@ def group_gram_blocks_pallas(Xf, omega, B: int, G: int, t_chunk: int = 512,
                                       fast=fast)
 
 
-@partial(jax.jit, static_argnames=("B", "G", "t_chunk", "fast"))
+@partial(jax.jit, static_argnames=("B", "G", "t_chunk", "fast", "n_pre"))
 def group_gram_blocks_pallas_t(Xt, omega, B: int, G: int,
                                t_chunk: int | None = None,
-                               fast: bool = False):
+                               fast: bool = False, n_pre: int | None = None):
     """Same as group_gram_blocks_pallas but consuming the TRANSPOSED design
     (P, T) or (N_pre*B, T) — the at-rest layout GLMData caches — so no
-    per-sweep transpose of the 320 MB design."""
+    per-sweep transpose of the 320 MB design.
+
+    Pass ``n_pre`` when Xt carries a trailing bias row: P // B miscounts it
+    as a presyn row when B == 1 (advisor r2)."""
     kernel = _gram_kernel_fast if fast else _gram_kernel_f32
     P, T = Xt.shape
     assert omega.shape[0] == T, (Xt.shape, omega.shape)
-    N_pre = P // B          # trailing bias row (if present) is ignored
+    # default: trailing bias row (if present, B >= 2) falls out of P // B
+    N_pre = P // B if n_pre is None else n_pre
     assert N_pre % G == 0
     Ng = N_pre // G
     GB = G * B

@@ -320,13 +320,28 @@ def resample_spike_slab_fused(key, Xt, omega, kappa, psi, w_nb, hyp_mu,
     """
     P, T = Xt.shape
     N = omega.shape[1]
-    N_pre = P // B
+    # N_pre from the packed weight rows, NOT P // B: with B == 1 the design's
+    # trailing bias row would be miscounted as a presyn row (advisor r2).
+    assert w_nb.shape[0] % B == 0, w_nb.shape
+    N_pre = w_nb.shape[0] // B
     assert N_pre % G == 0
     Ng = N_pre // G
     GB = G * B
     npad = -(-N // 128) * 128
     tc = t_chunk
+    # Pipelining hazard (advisor r2, medium): u is an ALIASED in/out pair
+    # whose block index (t, 0) repeats every group. With n_chunks == 1 the
+    # index never changes, so Pallas skips the re-fetch/flush entirely and
+    # groups g >= 2 would read a residual missing earlier groups' scatter
+    # updates; with n_chunks == 2 the flush of block 0 and its next-group
+    # prefetch land in the same pipeline step. Clamp the chunk size so the
+    # time axis always has >= 3 grid steps. tc must stay a multiple of 128
+    # (Mosaic lane tiling of the unpadded design blocks), so callers gate
+    # on T >= 384.
+    if -(-T // tc) < 4:
+        tc = max(128, (-(-T // 4) + 127) // 128 * 128)
     n_chunks = -(-T // tc)
+    assert n_chunks >= 3, (T, tc)
     pad_t = n_chunks * tc - T
     pad_n = npad - N
 
@@ -406,3 +421,115 @@ def resample_spike_slab_fused(key, Xt, omega, kappa, psi, w_nb, hyp_mu,
     A = a_out.reshape(Ng, G8, npad)[:, :G, :N].reshape(N_pre, N)
     sum_om = sumom[0, :N]
     return A, w_new, u, sum_om
+
+
+# ---------------------------------------------------------------------------
+# Per-group fused pass — the local, per-device piece of the MESH-sharded
+# spike-and-slab update (models/weights.py _ss_fused_shard_map). The
+# monolithic kernel above needs the full time axis resident on one device
+# (its in-kernel edge scan consumes globally-complete Jgg/M0); under a
+# ('time','neuron') mesh those stats must psum over time between a group's
+# accumulation and its edge scan, so the sweep becomes a lax.scan over
+# groups whose body runs THIS kernel per time shard. The streaming fusion
+# is retained per shard: u, omega, and the two design groups are each
+# touched once per group.
+# ---------------------------------------------------------------------------
+
+
+def ss_group_pass_tc(T: int, t_chunk: int = 512) -> int:
+    """Chunk size used by ss_group_pass_pallas for a length-T time axis —
+    callers pad omega/u to ``ceil(T / tc) * tc`` rows with this tc."""
+    tc = t_chunk if T > t_chunk else T
+    if T > tc:
+        tc = max(128, tc // 128 * 128)   # Mosaic lane tiling of Xg blocks
+    return tc
+
+
+def _make_group_pass_kernel(T, tc, fast):
+    def kernel(xp_ref, xg_ref, om_ref, u_ref, dw_ref,
+               uout_ref, m0_ref, jgg_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            m0_ref[:] = jnp.zeros_like(m0_ref)
+            jgg_ref[:] = jnp.zeros_like(jgg_ref)
+
+        om = om_ref[:]                                   # (tc, npad)
+        xp = xp_ref[:]                                   # (GB, tc)
+        if T % tc != 0:
+            colp = lax.broadcasted_iota(jnp.int32, xp.shape, 1) + t * tc
+            xp = jnp.where(colp < T, xp, 0.0)
+        u_new = u_ref[:] - om * _mm3_t(xp, dw_ref[:])    # scatter prev dW
+        uout_ref[:] = u_new
+        xg = xg_ref[:]
+        if T % tc != 0:
+            col = lax.broadcasted_iota(jnp.int32, xg.shape, 1) + t * tc
+            xg = jnp.where(col < T, xg, 0.0)
+        m0_ref[:] += _mm3(xg, u_new)                     # gather
+        GB = xg.shape[0]
+        Z = (xg[:, None, :] * xg[None, :, :]).reshape(GB * GB, tc)
+        if fast:
+            jgg_ref[:] += _mm(Z.astype(jnp.bfloat16),
+                              om.astype(jnp.bfloat16))
+        else:
+            jgg_ref[:] += _mm3(Z, om)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("T", "t_chunk", "fast"))
+def ss_group_pass_pallas(Xp, Xg, omega_pad, u_pad, dW_pad, T: int,
+                         t_chunk: int = 512, fast: bool = False):
+    """One fused scatter + gather + Gram pass over a presyn group:
+
+        u    -= omega * (Xp' dW)        (apply the PREVIOUS group's draws)
+        M0    = Xg u                    (gather for the current group)
+        Jgg   = Xg diag(omega) Xg'      (within-group Gram)
+
+    Args:
+      Xp, Xg: (GB, T) previous / current group design rows (NOT padded;
+        partial edge chunk masked in-kernel like the monolithic kernel).
+      omega_pad, u_pad: (Tpad, npad) zero-padded to the chunk boundary and
+        the 128-lane boundary.
+      dW_pad: (GB, npad).
+    Returns (u_new (Tpad, npad), M0 (GB, npad), Jgg (GB*GB, npad)).
+    u_pad is aliased into u_new; every block is visited exactly once, so the
+    monolithic kernel's revisit hazard cannot arise here.
+    """
+    GB = Xg.shape[0]
+    Tpad, npad = u_pad.shape
+    tc = ss_group_pass_tc(T, t_chunk)
+    n_chunks = -(-T // tc)
+    assert Tpad == n_chunks * tc, (Tpad, T, tc)
+
+    kernel = _make_group_pass_kernel(T, tc, fast)
+    u_new, M0, Jgg = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((GB, tc), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, tc), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, npad), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, npad), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, npad), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tc, npad), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, npad), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB * GB, npad), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tpad, npad), jnp.float32),
+            jax.ShapeDtypeStruct((GB, npad), jnp.float32),
+            jax.ShapeDtypeStruct((GB * GB, npad), jnp.float32),
+        ],
+        input_output_aliases={3: 0},
+    )(Xp, Xg, omega_pad, u_pad, dW_pad)
+    return u_new, M0, Jgg

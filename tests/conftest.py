@@ -18,3 +18,10 @@ if not os.environ.get("PYGLM_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+else:
+    # TPU lane: remote (axon) compiles are slow — persist them across runs
+    # (CLAUDE.md environment note).
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

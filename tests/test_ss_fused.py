@@ -23,9 +23,52 @@ from pyglm_tpu.models.weights import (pack_weights,
                                       resample_spike_slab_tspace)
 
 
-@pytest.mark.parametrize("precision", ["high", "default"])
-def test_fused_matches_staged_distribution(precision):
-    N, T, B, L = 24, 4000, 4, 10
+@pytest.mark.parametrize("fast", [False, True])
+def test_group_pass_kernel_matches_xla(fast):
+    """The per-group fused pass (the local piece of the mesh-sharded
+    spike-and-slab, ops/ss_pallas.py ss_group_pass_pallas) is deterministic
+    given its inputs — compare directly against the XLA math."""
+    from pyglm_tpu.ops.ss_pallas import ss_group_pass_pallas, ss_group_pass_tc
+    rng = np.random.RandomState(0)
+    GB, T, N = 16, 1000, 24
+    tc = ss_group_pass_tc(T, 512)
+    pad_t = -(-T // tc) * tc - T
+    npad = 128
+    Xp = jnp.asarray(rng.randn(GB, T), jnp.float32)
+    Xg = jnp.asarray(rng.randn(GB, T), jnp.float32)
+    om = jnp.asarray(rng.rand(T, N) + 0.1, jnp.float32)
+    u = jnp.asarray(rng.randn(T, N), jnp.float32)
+    dW = jnp.asarray(rng.randn(GB, N) * 0.1, jnp.float32)
+    om_p = jnp.pad(om, ((0, pad_t), (0, npad - N)))
+    u_p = jnp.pad(u, ((0, pad_t), (0, npad - N)))
+    dW_p = jnp.pad(dW, ((0, 0), (0, npad - N)))
+    u_new, M0, Jgg = ss_group_pass_pallas(Xp, Xg, om_p, u_p, dW_p, T,
+                                          t_chunk=512, fast=fast)
+    u_new = np.asarray(u_new)[:T, :N]
+    M0 = np.asarray(M0)[:, :N]
+    Jgg = np.asarray(Jgg)[:, :N]
+
+    u_ref = np.asarray(u) - np.asarray(om) * (np.asarray(Xp).T @ np.asarray(dW))
+    M0_ref = np.asarray(Xg) @ u_ref
+    Z = (np.asarray(Xg)[:, None, :] * np.asarray(Xg)[None, :, :]
+         ).reshape(GB * GB, T)
+    Jgg_ref = Z @ np.asarray(om)
+
+    def rel(a, b):
+        return np.max(np.abs(a - b)) / np.max(np.abs(b))
+
+    assert rel(u_new, u_ref) < 1e-4          # bf16x3 scatter
+    assert rel(M0, M0_ref) < 1e-4            # bf16x3 gather
+    assert rel(Jgg, Jgg_ref) < (5e-3 if fast else 1e-4)
+
+
+# T=4000 exercises the flagship multi-chunk schedule; T=900 forces the
+# short-T chunk clamp (t_chunk drops to ceil(T/4), keeping >= 4 grid steps
+# on the aliased-residual axis — advisor r2 medium finding).
+@pytest.mark.parametrize("precision,T", [
+    ("high", 4000), ("default", 4000), ("high", 900)])
+def test_fused_matches_staged_distribution(precision, T):
+    N, B, L = 24, 4, 10
     true = pt.SparseBernoulliGLM(
         N, B=B, L=L, seed=3,
         net_kwargs=dict(rho_init=0.2, learn_rho=False, mu_bias=-2.0))
