@@ -111,7 +111,16 @@ class NonlinearAutoregressiveModel:
                     f"observation family's max_y={max_y}; construct with "
                     f"obs_kwargs=dict(max_y={int(y_max)}) or larger so the "
                     f"CRT dispersion update sees every count")
-        Xf = design_matrix(Y, self.basis)
+        # On a sharded model, ingest under the mesh: per-time-shard causal
+        # conv with an L-bin ppermute halo, so the full (T, P) design is
+        # never materialized on one device (SURVEY.md §5 long-context row).
+        if (self._mesh is not None
+                and Y.shape[0] % self._mesh.shape.get("time", 1) == 0
+                and Y.shape[0] // self._mesh.shape.get("time", 1) >= self.L):
+            from pyglm_tpu.ops.basis import design_matrix_sharded
+            Xf = design_matrix_sharded(Y, self.basis, self._mesh)
+        else:
+            Xf = design_matrix(Y, self.basis)
         Gg0 = Gfull = XtY = None
         if not self.observation.needs_pg:
             # Gaussian fast path: cache unweighted Gram statistics once —

@@ -93,6 +93,44 @@ def convolve_with_basis(Y: jax.Array, basis) -> jax.Array:
     return out[:, :, :T].transpose(2, 0, 1)
 
 
+def design_matrix_sharded(Y: jax.Array, basis, mesh,
+                          with_bias: bool = True) -> jax.Array:
+    """Time-sharded design ingest: build Xf under the ('time','neuron') mesh
+    without ever materializing the full (T, P) design on one device
+    (SURVEY.md §5 long-context row; VERDICT r2 missing #2).
+
+    Each time shard owns T/n_time spike rows; the causal convolution needs
+    the L bins preceding each shard, which are exchanged with one
+    ``lax.ppermute`` from the previous shard (the first shard's halo is the
+    ppermute fill value 0 — exactly the global zero-padding before t=0).
+    The local conv then runs on [halo; Y_local] and drops its first L rows,
+    which is bit-identical to the corresponding global rows (each output
+    row is the same dot product of the same L inputs).
+
+    Returns Xf (T, N*B [+1]) sharded PartitionSpec('time', None).
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    basis = jnp.asarray(basis, dtype=jnp.float32)
+    L = basis.shape[0]
+    n_time = mesh.shape.get("time", 1)
+    T = Y.shape[0]
+    assert T % n_time == 0, (T, n_time)
+    assert T // n_time >= L, (
+        f"time shards of {T // n_time} bins are shorter than the basis "
+        f"filter (L={L}); use fewer time shards")
+
+    def fn(y):
+        halo = lax.ppermute(y[-L:], "time",
+                            [(i, i + 1) for i in range(n_time - 1)])
+        yc = jnp.concatenate([halo, y], axis=0)
+        return design_matrix(yc, basis, with_bias=with_bias)[L:]
+
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=PS("time", None),
+        out_specs=PS("time", None), check_vma=False)(Y)
+
+
 def design_matrix(Y: jax.Array, basis, with_bias: bool = True) -> jax.Array:
     """Flattened design matrix Xf = (T, N*B [+1]) with optional ones column.
 

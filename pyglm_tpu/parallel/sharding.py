@@ -149,7 +149,23 @@ def shard_model(model, mesh: Mesh):
         model.observation, model.network, model.N, model.B,
         model.spike_and_slab,
         t_chunk=model._t_chunk, precision=model._precision)
-    datas = tuple(model.datas)
+    # Re-ingest existing datasets under the mesh (per-time-shard conv with
+    # an L-bin halo exchange) so the design lives in sharded buffers from
+    # the start instead of being scattered from one device's copy; datasets
+    # registered AFTER shard() ingest shardedly in add_data directly.
+    import jax.numpy as jnp
+    from pyglm_tpu.ops.basis import design_matrix_sharded
+    n_time = mesh.shape["time"]
+    datas = []
+    for d in model.datas:
+        T = int(d.Y.shape[0])
+        if (T % n_time == 0 and T // n_time >= model.L
+                and d.Gg0 is None and d.Gfull is None):
+            Xf = design_matrix_sharded(d.Y, model.basis, mesh)
+            d = d._replace(
+                Xf=Xf, Xt=None if d.Xt is None else jnp.asarray(Xf.T))
+        datas.append(d)
+    datas = tuple(datas)
     fn, state, datas = make_sharded_sweep(sweep_fn, mesh, model.state, datas)
     model._sweep = fn
     model.state = state
