@@ -10,7 +10,18 @@ or a posterior ceiling? Protocol:
   B. fresh chain — same data, prior-initialized model, longer chain, with
      the HMC acceptance-rate diagnostic.
 
-Run: python benchmarks/config5_analysis.py [--N 500] [--T 20000]
+  C. --ess: the round-3 mixing-rate analysis (VERDICT r2 "config 5" item,
+     option b). Run a fresh chain, trace scalar functionals of the position
+     posterior (a fixed panel of logit-rho entries) plus the link AUC of a
+     running posterior-mean adjacency, estimate each functional's
+     integrated autocorrelation time tau (initial-positive-sequence
+     estimator), and check that the AUC deficit tracks the ESS-predicted
+     Monte-Carlo rate: AUC_ceiling - AUC(S) ~ c / sqrt(S / tau). If the
+     fitted curve explains the trajectory, "slow transport" is a measured
+     mixing rate, not a shrug — the chain is information-limited at the
+     rate its own autocorrelation time predicts.
+
+Run: python benchmarks/config5_analysis.py [--N 500] [--T 20000] [--ess]
 Results are summarized in BASELINE.md.
 """
 import argparse
@@ -22,6 +33,101 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+
+
+def integrated_autocorr_time(x):
+    """Initial-positive-sequence estimator of tau_int (Geyer 1992): sum
+    consecutive autocovariance pairs while they stay positive."""
+    x = np.asarray(x, np.float64)
+    n = x.size
+    x = x - x.mean()
+    var = np.mean(x * x)
+    if var <= 0:
+        return 1.0
+    acf = np.correlate(x, x, mode="full")[n - 1:] / (var * n)
+    tau = 1.0
+    k = 1
+    while k + 1 < min(n, 2000):
+        pair = acf[k] + acf[k + 1]
+        if pair < 0:
+            break
+        tau += 2.0 * pair
+        k += 2
+    return float(max(tau, 1.0))
+
+
+def run_ess(args):
+    import pyglm_tpu as pt
+    from pyglm_tpu.utils.metrics import link_auc
+
+    N, T, S = args.N, args.T, args.sweeps
+    true = pt.NonlinearAutoregressiveModel(
+        N, B=4, L=10, observation="bernoulli", network="latent_distance",
+        spike_and_slab=True, seed=5, net_kwargs=dict(dim=2, mu_bias=-3.0))
+    Y = true.generate(T, keep=False)
+    true_A = true.A.copy()
+    model = pt.NonlinearAutoregressiveModel(
+        N, B=4, L=10, observation="bernoulli", network="latent_distance",
+        spike_and_slab=True, seed=0, net_kwargs=dict(dim=2))
+    model.add_data(Y)
+
+    rng = np.random.RandomState(0)
+    ii = rng.randint(0, N, size=64)
+    jj = rng.randint(0, N, size=64)
+
+    lrho_trace = np.zeros((S, 64), np.float32)
+    auc_points = []        # (sweep, windowed AUC)
+    window = max(100, S // 16)
+    A_win = np.zeros_like(true_A)
+    n_win = 0
+    t0 = time.time()
+    for s in range(S):
+        model.resample_model()
+        st = model.state.net
+        L = np.asarray(st.L)
+        g = float(st.gamma)
+        d2 = np.sum((L[ii] - L[jj]) ** 2, axis=-1)
+        lrho_trace[s] = g - d2
+        A_win += model.A
+        n_win += 1
+        if (s + 1) % window == 0:
+            auc_points.append(
+                [s + 1, float(link_auc(A_win / n_win, true_A))])
+            A_win[:] = 0.0
+            n_win = 0
+        if (s + 1) % 500 == 0:
+            print(f"sweep {s+1}/{S} ({time.time()-t0:.0f}s)", flush=True)
+
+    # tau per traced functional, over the post-warmup half of the chain.
+    half = S // 2
+    taus = np.array([integrated_autocorr_time(lrho_trace[half:, k])
+                     for k in range(64)])
+    # ESS-rate fit: deficit(S) = c / sqrt(S / tau_med) on the AUC points
+    # past the initial transient, against the truth-init ceiling.
+    ceiling = args.ceiling
+    tau_med = float(np.median(taus))
+    pts = [(s, a) for s, a in auc_points if s >= S // 4]
+    cs = [(ceiling - a) * np.sqrt(s / tau_med) for s, a in pts]
+    c_hat = float(np.median(cs)) if cs else float("nan")
+    pred = [[s, ceiling - c_hat / np.sqrt(s / tau_med)] for s, a in pts]
+    resid = float(np.sqrt(np.mean(
+        [(a - p[1]) ** 2 for (s, a), p in zip(pts, pred)]))) if pts else None
+
+    out = {
+        "mode": "ess", "N": N, "T": T, "sweeps": S,
+        "tau_int_median": tau_med,
+        "tau_int_p90": float(np.percentile(taus, 90)),
+        "tau_int_max": float(np.max(taus)),
+        "ess_total": float(half / tau_med),
+        "auc_trajectory": auc_points,
+        "ceiling": ceiling,
+        "ess_rate_fit": {"c": c_hat, "rmse": resid,
+                         "model": "auc = ceiling - c/sqrt(S/tau_med)"},
+        "seconds": round(time.time() - t0, 1),
+    }
+    print(json.dumps(out))
+    with open("config5_ess.json", "w") as f:
+        json.dump(out, f, indent=1)
 
 
 def chain_auc(model, true_A, n_burn, n_avg, label):
@@ -49,11 +155,19 @@ def main():
     ap.add_argument("--T", type=int, default=20_000)
     ap.add_argument("--burn-fresh", type=int, default=300)
     ap.add_argument("--avg", type=int, default=100)
+    ap.add_argument("--ess", action="store_true",
+                    help="mixing-rate (tau/ESS) analysis instead of A/B")
+    ap.add_argument("--sweeps", type=int, default=3000)
+    ap.add_argument("--ceiling", type=float, default=0.962,
+                    help="truth-init ceiling AUC (BASELINE.md)")
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.ess:
+        run_ess(args)
+        return
     import pyglm_tpu as pt
 
     N, T = args.N, args.T
