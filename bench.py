@@ -15,8 +15,13 @@ alongside rather than silently substituted.
 
 vs_baseline denominator: 0.002254 sweeps/s — the architecture-faithful
 NumPy/f64 re-implementation (pyglm_tpu/reference/numpy_ref.py) at N=200,
-measured at T=1000/3000 on this box's CPU and fitted linearly in T
-(sweep = 4.3 s + 4.39 s per 1k bins -> 444 s at T=100k). The true reference
+measured at T in {1k, 3k} (round 1) and fitted linearly
+(sweep = 4.3 s + 4.39 s per 1k bins -> 444 s at T=100k). Round-3 check
+points at T=10k (82.5 s) and T=20k (199.2 s) show the true cost is
+SUPER-linear beyond the fitted range (the working set leaves cache; the
+10k->20k slope is 11.7 s per 1k bins), so 444 s at T=100k is a LOWER
+bound on the true CPU cost (last-segment extrapolation gives ~1135 s) and
+the reported vs_baseline is conservative by ~2.6x. The true reference
 (slinderman/pyglm) is unbuildable here — its mount is empty (SURVEY.md
 provenance note); the stand-in mirrors its per-neuron loop architecture.
 """
