@@ -20,11 +20,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-# Pass/fail contract (BASELINE.json north_star parity clause). Values set
-# from the measured round-1/round-2 runs minus a regression margin; a
-# failure means a conditional/sampler regression shipped, not MC noise.
-# Config 5's AUC threshold tracks the documented identifiability analysis
-# in BASELINE.md (VERDICT r1 task #3).
+# Pass/fail contract (BASELINE.json north_star parity clause). These gates
+# are REGRESSION FLOORS, not independent parity evidence: each value is the
+# measured round-1/round-2 result minus a Monte-Carlo margin, so a failure
+# means a conditional/sampler regression shipped, not MC noise. (True
+# reference-posterior parity remains blocked on the empty reference mount;
+# the independent exactness evidence lives in the Geweke + NumPy-oracle +
+# native-PG-KS test suites.) Config 5's AUC floor is additionally tied to
+# the ceiling analysis in BASELINE.md: the truth-initialized posterior
+# ceiling is 0.962 and a fresh chain measures ~0.77 at the gated 600-sweep
+# length (monotone in chain length), so 0.72 is ~93% of the expected
+# value at this chain length and ~75% of the asymptotic ceiling.
 THRESHOLDS = {
     "1_bernoulli_dense": {
         "weight_corr": (">=", 0.72), "pred_ll_gap_per_bin": ("<=", 0.005)},
@@ -198,6 +204,10 @@ def main():
 
     passed, failures = check_gates(results)
     report = {"quick": q, "results": results,
+              "threshold_semantics": (
+                  "regression floors: measured r1/r2 values minus an MC "
+                  "margin, detecting sampler regressions; not independent "
+                  "reference-parity evidence (see module docstring)"),
               "thresholds": {k: {m: list(g) for m, g in v.items()}
                              for k, v in THRESHOLDS.items()},
               "gate": {"evaluated": not q, "passed": passed,

@@ -272,14 +272,13 @@ class NonlinearAutoregressiveModel:
         Much faster than fit() when per-sweep dispatch dominates (small and
         medium models); sample storage lives on device during the run, so
         keep n_samples * |state| within HBM. Returns the same dict as fit().
-        Not available on a sharded model (use fit()).
+        On a sharded model the scan runs the SPMD sweep under the mesh
+        (whole chains on the device mesh with zero host dispatch).
         """
         assert self.datas, "call add_data() first"
-        if self._mesh is not None:
-            raise NotImplementedError("fit_compiled on a sharded model: "
-                                      "use fit()")
         datas = tuple(self.datas)
-        sweep = self._sweep
+        sweep = (self._sweep_raw if self._mesh is not None
+                 else self._sweep)
 
         def burn(state, k):
             state, _ = sweep(k, state, datas)

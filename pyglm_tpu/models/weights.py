@@ -570,10 +570,17 @@ def _tspace_impl(key, Xf, omega, kappa, w_full,
         # 1024-row chunks measured ~1.5-2 ms/sweep faster than 512 at
         # flagship scale (fewer grid steps amortize the per-step pipeline
         # work); chunk size only affects the kernel's schedule, not stats.
+        # The kernel's u/omega blocks scale with tc * npad: cap the product
+        # at the flagship-proven 1024 x 256 lanes or wide models (npad 512+,
+        # e.g. N=500) exceed the 16M scoped-vmem limit at compile time.
+        npad = -(-N // 128) * 128
+        tc_eff = max(t_chunk, 1024)
+        while tc_eff > 512 and tc_eff * npad > 1024 * 256:
+            tc_eff //= 2
         A, w_nb, u, sum_om = resample_spike_slab_fused(
             k_kern, Xt, omega, kappa, psi, w_full[: N_pre * B],
             hyp.mu, hyp.Lam, hyp.logit_rho, B, G,
-            t_chunk=max(t_chunk, 1024), fast=(precision == "default"))
+            t_chunk=tc_eff, fast=(precision == "default"))
         b_old = w_full[P - 1]
         m_b = jnp.sum(u, axis=0) + sum_om * b_old + hyp.lam_b * hyp.mu_b
         lam_p = hyp.lam_b + sum_om

@@ -81,10 +81,13 @@ def glm_shardings(mesh: Mesh, state: GLMState, datas: tuple):
     return rep, state_sh, data_sh
 
 
-def make_sharded_sweep(sweep_fn, mesh: Mesh, state: GLMState, datas: tuple):
+def make_sharded_sweep(sweep_fn, mesh: Mesh, state: GLMState, datas: tuple,
+                       return_raw: bool = False):
     """jit the sweep with mesh shardings on inputs and outputs.
 
-    Returns (jitted_fn, placed_state, placed_datas).
+    Returns (jitted_fn, placed_state, placed_datas); with return_raw, also
+    the UN-jitted mesh-scoped sweep callable (for callers that scan it
+    inside their own jit, e.g. fit_compiled on a sharded model).
     """
     key_sh, state_sh, data_sh = glm_shardings(mesh, state, datas)
     diag_sh = {"log_likelihood": key_sh, "n_edges": key_sh}
@@ -107,6 +110,8 @@ def make_sharded_sweep(sweep_fn, mesh: Mesh, state: GLMState, datas: tuple):
     )
     placed_state = jax.device_put(state, state_sh)
     placed_datas = jax.device_put(datas, data_sh)
+    if return_raw:
+        return fn, placed_state, placed_datas, sweep_in_mesh
     return fn, placed_state, placed_datas
 
 
@@ -166,8 +171,10 @@ def shard_model(model, mesh: Mesh):
                 Xf=Xf, Xt=None if d.Xt is None else jnp.asarray(Xf.T))
         datas.append(d)
     datas = tuple(datas)
-    fn, state, datas = make_sharded_sweep(sweep_fn, mesh, model.state, datas)
+    fn, state, datas, raw = make_sharded_sweep(
+        sweep_fn, mesh, model.state, datas, return_raw=True)
     model._sweep = fn
+    model._sweep_raw = raw
     model.state = state
     model.datas = list(datas)
     model._mesh = mesh

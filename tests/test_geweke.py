@@ -207,6 +207,35 @@ def test_geweke_sbm():
     assert z < 5.0, (cf0.mean(), z)
 
 
+def test_geweke_b2_cross_terms():
+    """B=2 basis: the posterior precisions Lp = Lam0 + Jjj are non-diagonal
+    2x2 blocks, so this exercises the unrolled small-B cholesky / forward /
+    back-substitution CROSS-terms in the collapsed edge scan, which the
+    B=1 configs never touch (VERDICT r2 weak #6)."""
+    basis = cosine_basis(B=2, L=L)
+    obs = Bernoulli()
+    net = ErdosRenyiConfig(
+        N=N, B=2, rho_init=0.4, learn_rho=False, learn_weight_prior=False,
+        sigma_w=0.5, mu_bias=-1.0, sigma_bias=0.3)
+    series = geweke_chain(jax.random.key(8), obs, net, N, 2, basis, T,
+                          spike_slab=True, n_iters=N_ITERS)
+    b = series["bias"][::THIN]
+    z = _z(b.mean(), net.mu_bias, net.sigma_bias ** 2, b.size)
+    assert z < 5.0, (b.mean(), z)
+    dens = series["A_density"][::THIN]
+    z = _z(dens.mean(), 0.4, 0.24, dens.size * N * N)
+    assert z < 5.0, (dens.mean(), z)
+    # Active coefficients ~ N(0, sigma_w) iid across the B=2 basis dims.
+    wsq = series["W_sq"][::THIN]
+    nact = series["n_active"][::THIN]
+    ratio = wsq.sum() / (nact.sum() * 2 * net.sigma_w)
+    assert abs(ratio - 1) < 0.2, ratio
+    wsum = series["W_sum"][::THIN]
+    est_mean = wsum.sum() / (nact.sum() * 2)
+    se = np.sqrt(net.sigma_w / (nact.sum() * 2))
+    assert abs(est_mean) < 6 * se, (est_mean, se)
+
+
 def test_geweke_gaussian_sparse():
     """Sparse Gaussian observations through the spike-and-slab scan —
     marginals must match the prior. (The cached-Gram fast path is covered

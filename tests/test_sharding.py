@@ -207,6 +207,20 @@ def test_sharded_sweep_structured_priors(network, N):
 
 
 @requires_8
+def test_fit_compiled_sharded():
+    """fit_compiled on a sharded model: the whole chain is one lax.scan of
+    the SPMD sweep on the mesh — zero per-sweep host dispatch."""
+    model = pt.SparseBernoulliGLM(16, B=2, L=4, seed=0)
+    model.generate(256, keep=True)
+    model.shard(make_mesh(n_time=2, n_neuron=4))
+    out = model.fit_compiled(n_samples=5, n_burnin=2, thin=1)
+    assert out["A"].shape == (5, 16, 16)
+    assert out["W"].shape == (5, 16, 16, 2)
+    assert out["bias"].shape == (5, 16)
+    assert np.isfinite(out["lls"]).all()
+
+
+@requires_8
 def test_design_matrix_sharded_bit_consistent():
     """Time-sharded ingest (per-shard causal conv + L-bin ppermute halo)
     must reproduce the single-device design exactly: every output row is

@@ -62,6 +62,21 @@ def test_group_pass_kernel_matches_xla(fast):
     assert rel(Jgg, Jgg_ref) < (5e-3 if fast else 1e-4)
 
 
+def test_fused_wide_lanes_compile():
+    """N=500 (npad=512 lanes, the BASELINE config-5 width) must compile and
+    run through the whole model path: r2's final 1024-row-chunk commit
+    silently pushed wide-lane models over the 16M scoped-vmem limit (the
+    caller now caps tc * npad); this guards the compile envelope."""
+    N, T = 500, 1024
+    m = pt.NonlinearAutoregressiveModel(
+        N, B=4, L=10, observation="bernoulli", network="latent_distance",
+        spike_and_slab=True, seed=0, net_kwargs=dict(dim=2))
+    rng = np.random.RandomState(0)
+    m.add_data((rng.rand(T, N) < 0.1).astype(np.float32))
+    d = m.resample_model()
+    assert np.isfinite(d["log_likelihood"])
+
+
 # T=4000 exercises the flagship multi-chunk schedule; T=900 forces the
 # short-T chunk clamp (t_chunk drops to ceil(T/4), keeping >= 4 grid steps
 # on the aliased-residual axis — advisor r2 medium finding).
