@@ -207,3 +207,80 @@ def test_per_edge_validation_errors():
     with pytest.raises(ValueError):
         DenseNetworkConfig(N=4, B=1, sigma_w=np.ones((4, 4, 1, 1)),
                            learn_weight_prior=True)
+
+
+# ---------------------------------------------------------------------------
+# Latent-distance HMC: closed-form gradient + merged-kick integrator
+# ---------------------------------------------------------------------------
+
+def _ld_potential(cfg, L, gamma, A):
+    """Independent re-statement of the latent-distance HMC potential."""
+    d2 = jnp.sum((L[:, None, :] - L[None, :, :]) ** 2, axis=-1)
+    lrho = gamma - d2
+    ll = jnp.sum(A * lrho - jnp.logaddexp(lrho, 0.0))
+    lp = (-0.5 * jnp.sum(L ** 2) / cfg.sigma_l ** 2
+          - 0.5 * gamma ** 2 / cfg.sigma_gamma ** 2)
+    return -(ll + lp)
+
+
+def test_latent_distance_grad_matches_autodiff():
+    """The closed-form _potential_grad must equal jax.grad of the
+    potential (the HMC accept step uses the potential, the integrator the
+    closed form — a mismatch silently breaks detailed balance)."""
+    from pyglm_tpu.models.networks import LatentDistanceConfig
+    N, dim = 13, 3
+    cfg = LatentDistanceConfig(N=N, B=1, dim=dim, sigma_l=0.8,
+                               sigma_gamma=1.7)
+    key = jax.random.key(0)
+    kL, kg, kA = jax.random.split(key, 3)
+    L = jax.random.normal(kL, (N, dim), jnp.float32)
+    gamma = jax.random.normal(kg, (), jnp.float32) * 0.5
+    A = (jax.random.uniform(kA, (N, N)) < 0.4).astype(jnp.float32)
+
+    gL_ad, gg_ad = jax.grad(
+        lambda p: _ld_potential(cfg, p[0], p[1], A))((L, gamma))
+    gL_cf, gg_cf = cfg._potential_grad((L, gamma), A)
+    np.testing.assert_allclose(np.asarray(gL_cf), np.asarray(gL_ad),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(gg_cf), float(gg_ad),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_merged_kick_leapfrog_matches_two_kick():
+    """The merged-kick (kick-drift-kick with shared interior gradients)
+    trajectory must equal the textbook per-step half-kick integrator in
+    exact arithmetic; check both endpoints after K steps."""
+    from pyglm_tpu.models.networks import LatentDistanceConfig
+    N, dim, K = 9, 2, 17
+    cfg = LatentDistanceConfig(N=N, B=1, dim=dim)
+    key = jax.random.key(3)
+    kL, kA, km1, km2 = jax.random.split(key, 4)
+    L = jax.random.normal(kL, (N, dim), jnp.float32)
+    gamma = jnp.float32(0.3)
+    A = (jax.random.uniform(kA, (N, N)) < 0.3).astype(jnp.float32)
+    eps = 0.01
+    grad = lambda p: cfg._potential_grad(p, A)
+    tmap = jax.tree.map
+
+    # reference: textbook two-half-kick leapfrog
+    p_ref = (L, gamma)
+    m_ref = (jax.random.normal(km1, (N, dim)), jax.random.normal(km2, ()))
+    m0 = m_ref
+    for _ in range(K):
+        g = grad(p_ref)
+        m_ref = tmap(lambda mi, gi: mi - 0.5 * eps * gi, m_ref, g)
+        p_ref = tmap(lambda pi, mi: pi + eps * mi, p_ref, m_ref)
+        g = grad(p_ref)
+        m_ref = tmap(lambda mi, gi: mi - 0.5 * eps * gi, m_ref, g)
+
+    # merged-kick form (as in LatentDistanceConfig.resample)
+    p, m = (L, gamma), m0
+    m = tmap(lambda mi, gi: mi - 0.5 * eps * gi, m, grad(p))
+    for _ in range(K):
+        p = tmap(lambda pi, mi: pi + eps * mi, p, m)
+        m = tmap(lambda mi, gi: mi - eps * gi, m, grad(p))
+    m = tmap(lambda mi, gi: mi + 0.5 * eps * gi, m, grad(p))
+
+    for a, b in zip(jax.tree.leaves((p, m)), jax.tree.leaves((p_ref, m_ref))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
