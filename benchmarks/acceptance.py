@@ -47,11 +47,13 @@ THRESHOLDS = {
     "4_sbm": {
         "link_auc": (">=", 0.84), "weight_corr": (">=", 0.87),
         "pred_ll_gap_per_bin": ("<=", 0.014)},
-    # cfg5 runs a longer chain (see main): the joint position/adjacency
-    # posterior needs ~700 sweeps to pass 0.75 (full trajectory + ceiling
-    # analysis in BASELINE.md; 0.81 by sweep 2400).
+    # cfg5 runs a longer chain (see main): AUC follows the measured mixing
+    # rate 0.962 - 0.757/sqrt(S/75.5) (BASELINE.md ESS analysis). At the
+    # gated 1500+200-sweep length the fit predicts ~0.80; the floor is
+    # that minus an MC margin, i.e. ceiling-relative at this chain length
+    # (~79% of the 0.962 truth-init ceiling).
     "5_latent_distance": {
-        "link_auc": (">=", 0.72), "pred_ll_gap_per_bin": ("<=", 0.040)},
+        "link_auc": (">=", 0.76), "pred_ll_gap_per_bin": ("<=", 0.040)},
 }
 
 
@@ -75,22 +77,15 @@ def check_gates(results):
     return (not failures), failures
 
 
-def _metrics(model, true, Y_test, n_avg=30):
-    import pyglm_tpu  # noqa
+def _score(model, true, A_mean, Weff_mean, Y_test):
     from pyglm_tpu.utils.metrics import link_auc
-    A_acc = np.zeros_like(true.A)
-    W_acc = np.zeros_like(true.W_effective)
-    for _ in range(n_avg):
-        model.resample_model()
-        A_acc += model.A / n_avg
-        W_acc += model.W_effective / n_avg
     out = {}
     if true.A.min() < 1:     # sparse truth -> AUC meaningful
-        out["link_auc"] = float(link_auc(A_acc, true.A))
+        out["link_auc"] = float(link_auc(A_mean, true.A))
     mask = true.A.astype(bool)
     if mask.sum() > 2:
         out["weight_corr"] = float(np.corrcoef(
-            W_acc[mask], true.W_effective[mask])[0, 1])
+            Weff_mean[mask], true.W_effective[mask])[0, 1])
     out["pred_ll_model"] = float(model.log_likelihood(Y_test))
     out["pred_ll_truth"] = float(true.log_likelihood(Y_test))
     out["pred_ll_gap_per_bin"] = float(
@@ -99,18 +94,74 @@ def _metrics(model, true, Y_test, n_avg=30):
 
 
 def run_config(name, true, model, T_train, T_test, n_burn, n_avg):
+    """Fit one config with the chain scanned ON DEVICE (fit_compiled's
+    shape): burn-in as one compiled lax.scan, then an averaging scan that
+    accumulates posterior means of A and W_effective. Until round 3 this
+    loop ran resample_model() per sweep, so every sweep paid the ~31 ms
+    axon host-dispatch readback — 2-4x the sampler cost at these shapes —
+    which is what capped the gated chain lengths. sweeps_per_sec here is
+    the burn chunks' wall time (compile excluded via a discarded warmup
+    chunk); posterior means accumulate in the scan carry, so memory is
+    O(state)."""
+    import jax
+    import jax.numpy as jnp
     Y = true.generate(T_train + T_test, keep=False)
     Y_train, Y_test = Y[:T_train], Y[T_train:]
     model.add_data(Y_train)
-    model.resample_model()                      # compile
+    sweep = model._sweep
+
+    # A single multi-minute device program through the axon tunnel crashes
+    # the TPU worker (observed at a 1500-sweep N=500 scan, ~60 s on
+    # device); burn in chunks of <=250 sweeps with a host sync between.
+    n_chunk = min(n_burn, 250)
+    n_chunks, rem = divmod(n_burn, n_chunk)
+
+    def burn(key, state, datas, length):
+        def step(s, k):
+            s, _ = sweep(k, s, datas)
+            return s, None
+        return jax.lax.scan(step, state, jax.random.split(key, length))[0]
+
+    def avg(key, state, datas, accA, accW, length):
+        def step(carry, k):
+            s, aA, aW = carry
+            s, _ = sweep(k, s, datas)
+            weff = jnp.sum(s.A[:, :, None] * s.W, axis=-1)
+            return (s, aA + s.A, aW + weff), None
+        (state, accA, accW), _ = jax.lax.scan(
+            step, (state, accA, accW), jax.random.split(key, length))
+        return state, accA, accW
+
+    datas = tuple(model.datas)
+    burn_j = jax.jit(burn, static_argnames=("length",))
+    burn_j(model._next_key(), model.state, datas,
+           length=n_chunk)                           # compile
     t0 = time.time()
-    for _ in range(n_burn):
-        model.resample_model()
-    sweep_time = (time.time() - t0) / n_burn
+    state = model.state
+    for _ in range(n_chunks):
+        state = burn_j(model._next_key(), state, datas, length=n_chunk)
+        float(jnp.sum(state.b))                      # host sync (axon)
+    sweep_time = (time.time() - t0) / (n_chunks * n_chunk)
+    if rem:
+        state = burn_j(model._next_key(), state, datas, length=rem)
+    # the avg scan is bounded by the same tunnel limit
+    model.state = state
+    accA = jnp.zeros((model.N, model.N), jnp.float32)
+    accW = jnp.zeros((model.N, model.N), jnp.float32)
+    avg_j = jax.jit(avg, static_argnames=("length",))
+    left = n_avg
+    while left > 0:
+        c = min(left, 250)
+        model.state, accA, accW = avg_j(
+            model._next_key(), model.state, datas, accA, accW, length=c)
+        float(jnp.sum(accA))                         # host sync
+        left -= c
+    A_mean, Weff_mean = accA / n_avg, accW / n_avg
     res = {"config": name, "N": true.N, "T": T_train,
            "rate": float(Y_train.mean()),
            "sweeps_per_sec": round(1.0 / sweep_time, 3)}
-    res.update(_metrics(model, true, Y_test, n_avg))
+    res.update(_score(model, true, np.asarray(A_mean),
+                      np.asarray(Weff_mean), Y_test))
     print(json.dumps(res))
     return res
 
@@ -192,15 +243,25 @@ def main():
         for _ in range(n_burn):
             model.resample_model()
         res5["sweeps_per_sec"] = round(n_burn / (time.time() - t0), 3)
-        res5.update(_metrics(model, true, Y[T:], n_avg))
+        A_acc = np.zeros_like(true.A)
+        W_acc = np.zeros_like(true.W_effective)
+        for _ in range(n_avg):
+            model.resample_model()
+            A_acc += model.A / n_avg
+            W_acc += model.W_effective / n_avg
+        res5.update(_score(model, true, A_acc, W_acc, Y[T:]))
         print(json.dumps(res5))
         results.append(res5)
     else:
-        # Longer chain: the latent embedding takes ~600 sweeps to lock in
-        # from a fresh start (BASELINE.md config-5 analysis).
+        # Longer chain than the other configs: the latent embedding mixes
+        # at tau_int ~ 75 sweeps (BASELINE.md config-5 ESS analysis), so
+        # AUC climbs as 0.962 - 0.757/sqrt(S/75.5). The scanned driver
+        # (round 3) removed the ~31 ms/sweep host-dispatch tax that had
+        # capped this at 600 sweeps; 1500+200 costs ~70 s on the chip and
+        # the fitted mixing curve predicts AUC ~0.80 there.
         results.append(run_config("5_latent_distance_single_chip", true,
                                   model, T, T // 10,
-                                  (10 if q else 600), (5 if q else 100)))
+                                  (10 if q else 1500), (5 if q else 200)))
 
     passed, failures = check_gates(results)
     report = {"quick": q, "results": results,

@@ -14,10 +14,13 @@ Methodology (the three traps that silently corrupt naive TPU timings here
 Run: python benchmarks/microbench.py [--small]
 Prints one line per stage (ms per sweep-equivalent call).
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 R = 50
 
