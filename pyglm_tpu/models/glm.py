@@ -266,44 +266,67 @@ class NonlinearAutoregressiveModel:
         return {k: np.asarray(v) for k, v in samples.items()}
 
     def fit_compiled(self, n_samples: int = 100, n_burnin: int = 0,
-                     thin: int = 1):
-        """Run the whole Gibbs chain as ONE compiled lax.scan on device.
+                     thin: int = 1, max_sweeps_per_launch: int = 250):
+        """Run the Gibbs chain as compiled lax.scan segments on device.
 
         Much faster than fit() when per-sweep dispatch dominates (small and
-        medium models); sample storage lives on device during the run, so
-        keep n_samples * |state| within HBM. Returns the same dict as fit().
-        On a sharded model the scan runs the SPMD sweep under the mesh
-        (whole chains on the device mesh with zero host dispatch).
+        medium models); sample storage lives on device during a segment, so
+        keep the per-segment sample block within HBM. Returns the same dict
+        as fit(). On a sharded model the scan runs the SPMD sweep under the
+        mesh (whole chains on the device mesh with zero host dispatch).
+
+        max_sweeps_per_launch bounds one device program's sweep count: a
+        single multi-minute program through the axon tunnel crashes the
+        TPU worker (observed at a 1500-sweep N=500 scan, ~60 s on device),
+        so long chains run as several launches with a host sync between —
+        one compile, since segment lengths repeat.
         """
         assert self.datas, "call add_data() first"
         datas = tuple(self.datas)
         sweep = (self._sweep_raw if self._mesh is not None
                  else self._sweep)
 
-        def burn(state, k):
-            state, _ = sweep(k, state, datas)
-            return state, None
+        def burn_seg(key, state, datas, length):
+            def step(s, k):
+                s, _ = sweep(k, s, datas)
+                return s, None
+            return jax.lax.scan(step, state,
+                                jax.random.split(key, length))[0]
 
-        def sample(state, k):
-            ks = jax.random.split(k, thin)
-            state, diags = jax.lax.scan(
-                lambda s, kk: sweep(kk, s, datas), state, ks)
-            return state, (state.A, state.W, state.b,
-                           diags["log_likelihood"][-1])
+        def sample_seg(key, state, datas, length):
+            def one(s, k):
+                ks = jax.random.split(k, thin)
+                s, diags = jax.lax.scan(
+                    lambda ss, kk: sweep(kk, ss, datas), s, ks)
+                return s, (s.A, s.W, s.b, diags["log_likelihood"][-1])
+            return jax.lax.scan(one, state, jax.random.split(key, length))
 
-        @jax.jit
-        def run(key, state):
-            kb, ks = jax.random.split(key)
-            if n_burnin > 0:
-                state, _ = jax.lax.scan(
-                    burn, state, jax.random.split(kb, n_burnin))
-            state, (A, W, b, lls) = jax.lax.scan(
-                sample, state, jax.random.split(ks, n_samples))
-            return state, A, W, b, lls
+        burn_j = jax.jit(burn_seg, static_argnames=("length",))
+        sample_j = jax.jit(sample_seg, static_argnames=("length",))
+        cap = max(1, max_sweeps_per_launch)
 
-        self.state, A, W, b, lls = run(self._next_key(), self.state)
-        return {"A": np.asarray(A), "W": np.asarray(W),
-                "bias": np.asarray(b), "lls": np.asarray(lls)}
+        state = self.state
+        left = n_burnin
+        while left > 0:
+            c = min(left, cap)
+            state = burn_j(self._next_key(), state, datas, length=c)
+            jax.block_until_ready(state)
+            float(jnp.sum(state.b))      # host sync (axon: block is a no-op)
+            left -= c
+        out = {"A": [], "W": [], "bias": [], "lls": []}
+        left = n_samples
+        while left > 0:
+            c = min(left, max(1, cap // max(1, thin)))
+            state, (A, W, b, lls) = sample_j(
+                self._next_key(), state, datas, length=c)
+            out["A"].append(np.asarray(A))
+            out["W"].append(np.asarray(W))
+            out["bias"].append(np.asarray(b))
+            out["lls"].append(np.asarray(lls))
+            left -= c
+        self.state = state
+        return {k: np.concatenate(v, axis=0) if v else np.empty((0,))
+                for k, v in out.items()}
 
     def copy_sample(self):
         """Host snapshot of the current parameter sample (pickle-friendly)."""
