@@ -21,7 +21,8 @@ or a posterior ceiling? Protocol:
      mixing rate, not a shrug — the chain is information-limited at the
      rate its own autocorrelation time predicts.
 
-Run: python benchmarks/config5_analysis.py [--N 500] [--T 20000] [--ess]
+Run: python benchmarks/config5_analysis.py [--N 500] [--T 20000]
+     [--ess | --long | --anneal]
 Results are summarized in BASELINE.md.
 """
 import argparse
@@ -127,6 +128,104 @@ def run_ess(args):
     }
     print(json.dumps(out))
     with open("config5_ess.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+def run_long(args):
+    """--long: out-of-sample test of the fitted mixing law (run_ess) on a
+    chain several times longer than the 3000 sweeps the law was fitted to.
+
+    The r3 ESS fit predicts AUC(S) = ceiling - c/sqrt(S/tau) with the
+    heavy tau tail (p90 = 3.4x median) dragging long-S points below the
+    single-tau curve; this mode measures where the real trajectory sits at
+    S up to ~16k and whether/when it crosses 0.88 (VERDICT r2 'config 5'
+    primary done-criterion). Sweeps run as on-device lax.scan segments
+    (fit_compiled's shape — no per-sweep host dispatch; one (N, N)
+    adjacency-sum readback per segment), so 16k sweeps is ~12 min on one
+    chip at the r3 sweep rate."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import pyglm_tpu as pt
+    from pyglm_tpu.utils.metrics import link_auc
+
+    N, T, S = args.N, args.T, args.sweeps
+    true = pt.NonlinearAutoregressiveModel(
+        N, B=4, L=10, observation="bernoulli", network="latent_distance",
+        spike_and_slab=True, seed=5, net_kwargs=dict(dim=2, mu_bias=-3.0))
+    Y = true.generate(T, keep=False)
+    true_A = true.A.copy()
+    model = pt.NonlinearAutoregressiveModel(
+        N, B=4, L=10, observation="bernoulli", network="latent_distance",
+        spike_and_slab=True, seed=0, net_kwargs=dict(dim=2))
+    model.add_data(Y)
+
+    sweep = model._sweep
+    datas = tuple(model.datas)
+    seg_len = 200               # < fit_compiled's 250-sweep launch bound
+
+    @partial(jax.jit, static_argnames=("length",))
+    def seg(key, state, ds, length):
+        def step(carry, k):
+            s, acc = carry
+            s, _ = sweep(k, s, ds)
+            return (s, acc + s.A), None
+        (s, acc), _ = jax.lax.scan(
+            step, (state, jnp.zeros_like(state.A)),
+            jax.random.split(key, length))
+        return s, acc
+
+    assert S % seg_len == 0, (S, seg_len)
+    window = args.window
+    assert window % seg_len == 0, (window, seg_len)
+    burn = S // 4               # cumulative estimator discards this prefix
+
+    state = model.state
+    win_acc = np.zeros_like(true_A)
+    win_n = 0
+    cum_acc = np.zeros_like(true_A)
+    cum_n = 0
+    windowed = []               # [sweep, windowed AUC]
+    cumulative = []             # [sweep, post-burn cumulative-mean AUC]
+    t0 = time.time()
+    for done in range(seg_len, S + 1, seg_len):
+        state, acc = seg(model._next_key(), state, datas, length=seg_len)
+        acc = np.asarray(acc)
+        win_acc += acc
+        win_n += seg_len
+        if done > burn:
+            cum_acc += acc
+            cum_n += seg_len
+        if win_n == window:
+            windowed.append([done, float(link_auc(win_acc / win_n, true_A))])
+            win_acc[:] = 0.0
+            win_n = 0
+            if cum_n:
+                cumulative.append(
+                    [done, float(link_auc(cum_acc / cum_n, true_A))])
+            el = time.time() - t0
+            print(f"sweep {done}/{S} ({el:.0f}s, {done/el:.1f}/s) "
+                  f"win={windowed[-1][1]:.3f}"
+                  + (f" cum={cumulative[-1][1]:.3f}" if cum_n else ""),
+                  flush=True)
+    el = time.time() - t0
+
+    tau, c_hat = 75.5, 0.757    # config5_ess.json single-tau fit (r3)
+    pred = {s: args.ceiling - c_hat / np.sqrt(s / tau)
+            for s, _ in windowed}
+    out = {
+        "mode": "long", "N": N, "T": T, "sweeps": S, "window": window,
+        "auc_windowed": windowed,
+        "auc_cumulative_postburn": cumulative,
+        "final_cumulative_auc": cumulative[-1][1] if cumulative else None,
+        "ess_fit_prediction_at_end": pred.get(S),
+        "ceiling": args.ceiling,
+        "sweeps_per_sec": round(S / el, 2),
+        "seconds": round(el, 1),
+    }
+    print(json.dumps(out))
+    with open("config5_long.json", "w") as f:
         json.dump(out, f, indent=1)
 
 
@@ -248,6 +347,11 @@ def main():
     ap.add_argument("--avg", type=int, default=100)
     ap.add_argument("--ess", action="store_true",
                     help="mixing-rate (tau/ESS) analysis instead of A/B")
+    ap.add_argument("--long", dest="long_run", action="store_true",
+                    help="compiled-scan long chain: out-of-sample test of "
+                         "the ESS mixing law; AUC vs 0.88")
+    ap.add_argument("--window", type=int, default=800,
+                    help="--long: posterior-mean window (sweeps)")
     ap.add_argument("--anneal", action="store_true",
                     help="tempered-burn-in vs control experiment")
     ap.add_argument("--ramp", type=int, default=600,
@@ -264,6 +368,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.ess:
         run_ess(args)
+        return
+    if args.long_run:
+        run_long(args)
         return
     if args.anneal:
         run_anneal(args)

@@ -11,8 +11,11 @@ Methodology (the three traps that silently corrupt naive TPU timings here
   3. XLA narrows a dot whose output is only sliced: results are consumed
      with a full reduction.
 
-Run: python benchmarks/microbench.py [--small]
+Run: python benchmarks/microbench.py [--small | --config5]
 Prints one line per stage (ms per sweep-equivalent call).
+--config5 swaps the flagship shapes for BASELINE config 5's (N=500,
+T=20k, latent-distance prior) — the stage ledger behind the config-5
+sweeps/s numbers in BASELINE.md.
 """
 import os
 import sys
@@ -35,14 +38,28 @@ def main():
     from pyglm_tpu.models.weights import pack_weights, _auto_group
 
     small = "--small" in sys.argv
-    N, T, B, L = (20, 5_000, 4, 10) if small else (200, 100_000, 4, 10)
-    true = pt.SparseBernoulliGLM(
-        N, B=B, L=L, seed=42,
-        net_kwargs=dict(rho_init=0.05, learn_rho=False, mu_bias=-2.5,
-                        sigma_bias=0.25, learn_weight_prior=False,
-                        sigma_w=1.0))
-    Y = true.generate(T, keep=False)
-    model = pt.SparseBernoulliGLM(N, B=B, L=L, seed=0, precision="default")
+    cfg5 = "--config5" in sys.argv
+    N, T, B, L = (20, 5_000, 4, 10) if small else (
+        (500, 20_000, 4, 10) if cfg5 else (200, 100_000, 4, 10))
+    if cfg5:
+        true = pt.NonlinearAutoregressiveModel(
+            N, B=B, L=L, observation="bernoulli",
+            network="latent_distance", spike_and_slab=True, seed=5,
+            net_kwargs=dict(dim=2, mu_bias=-3.0))
+        Y = true.generate(T, keep=False)
+        model = pt.NonlinearAutoregressiveModel(
+            N, B=B, L=L, observation="bernoulli",
+            network="latent_distance", spike_and_slab=True, seed=0,
+            net_kwargs=dict(dim=2), precision="default")
+    else:
+        true = pt.SparseBernoulliGLM(
+            N, B=B, L=L, seed=42,
+            net_kwargs=dict(rho_init=0.05, learn_rho=False, mu_bias=-2.5,
+                            sigma_bias=0.25, learn_weight_prior=False,
+                            sigma_w=1.0))
+        Y = true.generate(T, keep=False)
+        model = pt.SparseBernoulliGLM(N, B=B, L=L, seed=0,
+                                      precision="default")
     model.add_data(Y)
     d = model.datas[0]
     state = model.state
