@@ -328,6 +328,54 @@ class NonlinearAutoregressiveModel:
         return {k: np.concatenate(v, axis=0) if v else np.empty((0,))
                 for k, v in out.items()}
 
+    def fit_ensemble(self, n_chains: int = 4, n_samples: int = 100,
+                     n_burnin: int = 0, thin: int = 1, seeds=None,
+                     compiled: bool = True):
+        """Run ``n_chains`` independent Gibbs chains from fresh prior
+        initializations on the registered data, with split-R̂ convergence
+        diagnostics over the pooled traces.
+
+        The reference leaves convergence assessment entirely to the
+        user-owned MCMC loop (SURVEY.md §3.5); this is the canonical
+        multi-chain check — chains started overdispersed (from the prior)
+        must agree on every marginal. All chains reuse this model's
+        compiled sweep (zero recompiles after the first chain).
+
+        Returns a dict with stacked per-chain samples 'A' (C,S,N,N),
+        'W' (C,S,N,N,B), 'bias' (C,S,N), 'lls' (C,S), plus
+        'rhat_edge' (N,N) split-R̂ of the A inclusion traces,
+        'rhat_bias' (N,) and 'rhat_ll' (scalar). R̂ ≲ 1.01 across the
+        board indicates the chains have mixed. The model's own chain
+        state and key are restored afterwards.
+        """
+        from pyglm_tpu.utils.metrics import split_rhat
+
+        assert self.datas, "call add_data() or generate(keep=True) first"
+        assert n_chains >= 2 and n_samples >= 4, (n_chains, n_samples)
+        state0, key0 = self.state, self._key
+        if seeds is None:
+            seeds = range(1, n_chains + 1)
+        runs = []
+        try:
+            for sd in seeds:
+                # distinct, reproducible key stream per chain
+                self._key = jax.random.fold_in(
+                    jax.random.key(int(sd)), 0x5EED)
+                self.state = init_state_from_prior(
+                    self._next_key(), self.observation, self.network,
+                    self.N, self.B, self.spike_and_slab)
+                fit = self.fit_compiled if compiled else self.fit
+                runs.append(fit(n_samples=n_samples, n_burnin=n_burnin,
+                                thin=thin))
+        finally:
+            self.state, self._key = state0, key0
+        out = {k: np.stack([r[k] for r in runs])
+               for k in ("A", "W", "bias", "lls")}
+        out["rhat_edge"] = split_rhat(out["A"])
+        out["rhat_bias"] = split_rhat(out["bias"])
+        out["rhat_ll"] = float(np.asarray(split_rhat(out["lls"][..., None]))[0])
+        return out
+
     def copy_sample(self):
         """Host snapshot of the current parameter sample (pickle-friendly)."""
         return jax.tree.map(np.asarray, self.state)

@@ -54,6 +54,59 @@ def predictive_log_likelihood(model, Y_test, n_samples: int = 20,
     return float(m + np.log(np.mean(np.exp(lls - m)))), lls
 
 
+def split_rhat(chains):
+    """Split-R̂ (Gelman–Rubin potential scale reduction, rank-free form)
+    per scalar component.
+
+    Args:
+      chains: (C, S, ...) array — C independent chains of S post-burn-in
+        samples of an arbitrarily-shaped quantity (e.g. the (S, N, N) A
+        traces of several ``fit()`` runs stacked on axis 0).
+    Returns an array of shape ``chains.shape[2:]``: R̂ per component, the
+    sqrt of (within + between) / within variance over the 2C half-chains.
+    Values ≲ 1.01 indicate the chains agree; use with `fit` over multiple
+    seeds as the standard multi-chain convergence check (the reference's
+    user-owned MCMC loop has no convergence tooling; this is the canonical
+    diagnostic for it).
+    """
+    x = np.asarray(chains, np.float64)
+    C, S = x.shape[:2]
+    assert C >= 2 and S >= 4, (C, S)
+    half = S // 2
+    # split each chain into two halves -> (2C, half, ...)
+    x = np.concatenate([x[:, :half], x[:, half: 2 * half]], axis=0)
+    m = x.shape[0]
+    mean_j = x.mean(axis=1)                         # (2C, ...)
+    var_j = x.var(axis=1, ddof=1)                   # (2C, ...)
+    W = var_j.mean(axis=0)
+    B = half * mean_j.var(axis=0, ddof=1)
+    var_plus = (half - 1) / half * W + B / half
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rhat = np.sqrt(var_plus / W)
+    # constant components (e.g. an edge pinned at 0) are trivially converged
+    return np.where(W > 0, rhat, 1.0)
+
+
+def ess_per_chain(x):
+    """Effective sample size of a (S,) scalar trace via the initial-
+    positive-sequence autocorrelation estimator (Geyer 1992)."""
+    x = np.asarray(x, np.float64)
+    n = x.size
+    x = x - x.mean()
+    var = np.mean(x * x)
+    if var <= 0:
+        return float(n)
+    acf = np.correlate(x, x, mode="full")[n - 1:] / (var * n)
+    tau, k = 1.0, 1
+    while k + 1 < n:
+        pair = acf[k] + acf[k + 1]
+        if pair < 0:
+            break
+        tau += 2.0 * pair
+        k += 2
+    return float(n / max(tau, 1.0))
+
+
 def bits_per_spike(pll, Y_test, baseline_rate=None):
     """Convert predictive log-lik (nats) to bits/spike vs a homogeneous
     baseline — the paper's normalized metric."""

@@ -54,3 +54,37 @@ def test_predictive_ll_and_bits_per_spike():
     assert np.isfinite(pll) and len(lls) == 5
     bps = bits_per_spike(pll, Y_test)
     assert np.isfinite(bps)
+
+
+def test_split_rhat_converged_vs_divergent():
+    from pyglm_tpu.utils.metrics import split_rhat
+    rng = np.random.RandomState(0)
+    # 4 iid-normal chains over a (3, 2) quantity: R-hat ~ 1.
+    good = rng.randn(4, 400, 3, 2)
+    r = split_rhat(good)
+    assert r.shape == (3, 2)
+    assert np.all(r < 1.05), r
+    # separate the chain means: R-hat must blow past 1.3.
+    bad = good + np.arange(4)[:, None, None, None] * 3.0
+    assert np.all(split_rhat(bad) > 1.3)
+    # constant component stays defined (1.0), not NaN.
+    const = np.concatenate([good, np.zeros((4, 400, 3, 1))], axis=-1)
+    r2 = split_rhat(const)
+    assert np.all(np.isfinite(r2)) and r2[0, -1] == 1.0
+
+
+def test_ess_per_chain_ar1():
+    from pyglm_tpu.utils.metrics import ess_per_chain
+    rng = np.random.RandomState(1)
+    n = 20000
+    # iid: ESS ~ n.
+    assert ess_per_chain(rng.randn(n)) > 0.8 * n
+    # AR(1), rho = 0.9: ESS/n -> (1-rho)/(1+rho) ~ 0.0526.
+    rho = 0.9
+    x = np.empty(n)
+    x[0] = rng.randn()
+    eps = rng.randn(n) * np.sqrt(1 - rho ** 2)
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + eps[t]
+    ratio = ess_per_chain(x) / n
+    assert 0.03 < ratio < 0.08, ratio

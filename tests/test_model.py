@@ -263,3 +263,23 @@ def test_fit_compiled_thin_and_zero_burnin():
     m.generate(400, keep=True)
     out = m.fit_compiled(n_samples=5, n_burnin=0, thin=3)
     assert out["A"].shape == (5, 4, 4) and out["lls"].shape == (5,)
+
+
+def test_fit_ensemble_rhat():
+    m = pt.SparseBernoulliGLM(4, B=2, L=4, seed=3)
+    m.generate(600, keep=True)
+    b_before = m.bias.copy()
+    key_before = m._key
+    out = m.fit_ensemble(n_chains=2, n_samples=12, n_burnin=6)
+    assert out["A"].shape == (2, 12, 4, 4)
+    assert out["W"].shape == (2, 12, 4, 4, 2)
+    assert out["bias"].shape == (2, 12, 4)
+    assert out["rhat_edge"].shape == (4, 4)
+    assert out["rhat_bias"].shape == (4,)
+    assert np.all(np.isfinite(out["rhat_edge"]))
+    assert np.isfinite(out["rhat_ll"])
+    # chains differ (independent prior inits actually ran)
+    assert not np.array_equal(out["bias"][0], out["bias"][1])
+    # the model's own chain state and key stream are untouched
+    assert np.array_equal(m.bias, b_before)
+    assert m._key is key_before
