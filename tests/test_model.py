@@ -283,3 +283,25 @@ def test_fit_ensemble_rhat():
     # the model's own chain state and key stream are untouched
     assert np.array_equal(m.bias, b_before)
     assert m._key is key_before
+
+
+def test_chain_reproducibility_same_seed():
+    """Counter-based RNG discipline end-to-end: two identically-seeded
+    models on the same data must produce bit-identical chains (SURVEY.md
+    §5 race-detection row — no shared mutable RNG state exists under jit),
+    and a different seed must diverge."""
+    Y = pt.SparseBernoulliGLM(5, B=2, L=4, seed=8).generate(500, keep=False)
+
+    def chain(seed):
+        m = pt.SparseBernoulliGLM(5, B=2, L=4, seed=seed)
+        m.add_data(Y)
+        for _ in range(5):
+            m.resample_model()
+        return m.A, m.W, m.bias
+
+    A1, W1, b1 = chain(13)
+    A2, W2, b2 = chain(13)
+    assert np.array_equal(A1, A2) and np.array_equal(W1, W2)
+    assert np.array_equal(b1, b2)
+    A3, _, b3 = chain(14)
+    assert not (np.array_equal(A1, A3) and np.array_equal(b1, b3))
