@@ -113,7 +113,7 @@ def run_config(name, true, model, T_train, T_test, n_burn, n_avg):
     # A single multi-minute device program through the axon tunnel crashes
     # the TPU worker (observed at a 1500-sweep N=500 scan, ~60 s on
     # device); burn in chunks of <=250 sweeps with a host sync between.
-    n_chunk = min(n_burn, 250)
+    n_chunk = min(max(n_burn, 1), 250)
     n_chunks, rem = divmod(n_burn, n_chunk)
 
     def burn(key, state, datas, length):

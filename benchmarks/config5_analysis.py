@@ -212,14 +212,13 @@ def run_long(args):
     el = time.time() - t0
 
     tau, c_hat = 75.5, 0.757    # config5_ess.json single-tau fit (r3)
-    pred = {s: args.ceiling - c_hat / np.sqrt(s / tau)
-            for s, _ in windowed}
     out = {
         "mode": "long", "N": N, "T": T, "sweeps": S, "window": window,
         "auc_windowed": windowed,
         "auc_cumulative_postburn": cumulative,
         "final_cumulative_auc": cumulative[-1][1] if cumulative else None,
-        "ess_fit_prediction_at_end": pred.get(S),
+        "ess_fit_prediction_at_end": float(
+            args.ceiling - c_hat / np.sqrt(S / tau)),
         "ceiling": args.ceiling,
         "sweeps_per_sec": round(S / el, 2),
         "seconds": round(el, 1),

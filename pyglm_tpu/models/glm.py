@@ -249,11 +249,16 @@ class NonlinearAutoregressiveModel:
     def fit(self, n_samples: int = 100, n_burnin: int = 0, thin: int = 1,
             callback=None, verbose: bool = False):
         """Run the Gibbs chain, returning thinned posterior samples as host
-        arrays: dict with 'A' (S,N,N), 'W' (S,N,N,B), 'bias' (S,N), 'lls'."""
+        arrays: dict with 'A' (S,N,N), 'W' (S,N,N,B), 'bias' (S,N), 'lls'.
+
+        Runs ``n_burnin + n_samples * thin`` sweeps and records every
+        ``thin``-th post-burn-in sweep, so exactly ``n_samples`` samples
+        return regardless of thin — the same contract as ``fit_compiled``.
+        """
         samples = {"A": [], "W": [], "bias": [], "lls": []}
-        for it in range(n_burnin + n_samples):
+        for it in range(n_burnin + n_samples * thin):
             diag = self.resample_model()
-            if it >= n_burnin and (it - n_burnin) % thin == 0:
+            if it >= n_burnin and (it - n_burnin) % thin == thin - 1:
                 samples["A"].append(self.A)
                 samples["W"].append(self.W)
                 samples["bias"].append(self.bias)
@@ -282,28 +287,45 @@ class NonlinearAutoregressiveModel:
         one compile, since segment lengths repeat.
         """
         assert self.datas, "call add_data() first"
+        cap = max(1, max_sweeps_per_launch)
+        if thin > cap:
+            raise ValueError(
+                f"thin={thin} exceeds max_sweeps_per_launch={cap}: one "
+                f"sample segment would scan {thin} sweeps in a single "
+                f"device program, past the launch bound this parameter "
+                f"exists to enforce (long axon programs crash the TPU "
+                f"worker); raise max_sweeps_per_launch explicitly if the "
+                f"backend tolerates it")
         datas = tuple(self.datas)
         sweep = (self._sweep_raw if self._mesh is not None
                  else self._sweep)
 
-        def burn_seg(key, state, datas, length):
-            def step(s, k):
-                s, _ = sweep(k, s, datas)
-                return s, None
-            return jax.lax.scan(step, state,
-                                jax.random.split(key, length))[0]
+        # Segment runners are cached on the model (keyed by the sweep fn
+        # object and thin) so repeated calls — e.g. fit_ensemble's chains —
+        # reuse one trace/compile instead of re-jitting per call.
+        if not hasattr(self, "_fit_jits"):
+            self._fit_jits = {}
+        cache_key = (sweep, thin)
+        if cache_key not in self._fit_jits:
+            def burn_seg(key, state, datas, length):
+                def step(s, k):
+                    s, _ = sweep(k, s, datas)
+                    return s, None
+                return jax.lax.scan(step, state,
+                                    jax.random.split(key, length))[0]
 
-        def sample_seg(key, state, datas, length):
-            def one(s, k):
-                ks = jax.random.split(k, thin)
-                s, diags = jax.lax.scan(
-                    lambda ss, kk: sweep(kk, ss, datas), s, ks)
-                return s, (s.A, s.W, s.b, diags["log_likelihood"][-1])
-            return jax.lax.scan(one, state, jax.random.split(key, length))
+            def sample_seg(key, state, datas, length):
+                def one(s, k):
+                    ks = jax.random.split(k, thin)
+                    s, diags = jax.lax.scan(
+                        lambda ss, kk: sweep(kk, ss, datas), s, ks)
+                    return s, (s.A, s.W, s.b, diags["log_likelihood"][-1])
+                return jax.lax.scan(one, state, jax.random.split(key, length))
 
-        burn_j = jax.jit(burn_seg, static_argnames=("length",))
-        sample_j = jax.jit(sample_seg, static_argnames=("length",))
-        cap = max(1, max_sweeps_per_launch)
+            self._fit_jits[cache_key] = (
+                jax.jit(burn_seg, static_argnames=("length",)),
+                jax.jit(sample_seg, static_argnames=("length",)))
+        burn_j, sample_j = self._fit_jits[cache_key]
 
         state = self.state
         left = n_burnin
@@ -325,8 +347,13 @@ class NonlinearAutoregressiveModel:
             out["lls"].append(np.asarray(lls))
             left -= c
         self.state = state
-        return {k: np.concatenate(v, axis=0) if v else np.empty((0,))
-                for k, v in out.items()}
+        if not out["A"]:        # burn-only call: correctly-shaped empties
+            N, B = self.N, self.B
+            return {"A": np.zeros((0, N, N), np.float32),
+                    "W": np.zeros((0, N, N, B), np.float32),
+                    "bias": np.zeros((0, N), np.float32),
+                    "lls": np.zeros((0,), np.float32)}
+        return {k: np.concatenate(v, axis=0) for k, v in out.items()}
 
     def fit_ensemble(self, n_chains: int = 4, n_samples: int = 100,
                      n_burnin: int = 0, thin: int = 1, seeds=None,

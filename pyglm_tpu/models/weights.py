@@ -559,24 +559,29 @@ def _tspace_impl(key, Xf, omega, kappa, w_full,
     # in-kernel edge scan in ONE pallas pass — u/omega/design each streamed
     # once per group (single-chip; the monolithic kernel needs the full
     # time axis resident to interleave its in-kernel edge scan).
+    # 1024-row chunks measured ~1.5-2 ms/sweep faster than 512 at
+    # flagship scale (fewer grid steps amortize the per-step pipeline
+    # work); chunk size only affects the kernel's schedule, not stats.
+    # The kernel's u/omega blocks scale with tc * npad: cap the product
+    # at the flagship-proven 1024 x 256 lanes or wide models (npad 512+,
+    # e.g. N=500) exceed the ~16 MB scoped-vmem limit at compile time.
+    # tc stays a multiple of 128 (Mosaic lane tiling); if even tc = 128
+    # cannot meet the cap (npad > 2048, i.e. N > 1920) the fused kernel
+    # is skipped entirely and the staged path below runs instead.
+    npad = -(-N // 128) * 128
+    tc_eff = max(t_chunk, 1024)
+    while tc_eff > 128 and tc_eff * npad > 1024 * 256:
+        tc_eff //= 2
+
     if (Xt is not None and Jg is None and psi is not None
             and precision in ("default", "high")
             and GB % 8 == 0 and B <= 8 and T >= 384
+            and tc_eff * npad <= 1024 * 256
             and _use_pallas_gram() and len(jax.devices()) == 1
             and mesh is None
             and os.environ.get("PYGLM_SS_BACKEND") != "xla"):
         from pyglm_tpu.ops.ss_pallas import resample_spike_slab_fused
         k_kern, k_bias = jax.random.split(key)
-        # 1024-row chunks measured ~1.5-2 ms/sweep faster than 512 at
-        # flagship scale (fewer grid steps amortize the per-step pipeline
-        # work); chunk size only affects the kernel's schedule, not stats.
-        # The kernel's u/omega blocks scale with tc * npad: cap the product
-        # at the flagship-proven 1024 x 256 lanes or wide models (npad 512+,
-        # e.g. N=500) exceed the 16M scoped-vmem limit at compile time.
-        npad = -(-N // 128) * 128
-        tc_eff = max(t_chunk, 1024)
-        while tc_eff > 512 and tc_eff * npad > 1024 * 256:
-            tc_eff //= 2
         A, w_nb, u, sum_om = resample_spike_slab_fused(
             k_kern, Xt, omega, kappa, psi, w_full[: N_pre * B],
             hyp.mu, hyp.Lam, hyp.logit_rho, B, G,

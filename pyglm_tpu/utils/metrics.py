@@ -83,8 +83,14 @@ def split_rhat(chains):
     var_plus = (half - 1) / half * W + B / half
     with np.errstate(divide="ignore", invalid="ignore"):
         rhat = np.sqrt(var_plus / W)
-    # constant components (e.g. an edge pinned at 0) are trivially converged
-    return np.where(W > 0, rhat, 1.0)
+    # W == 0 needs care: a component constant within every half-chain is
+    # trivially converged ONLY if the chains also agree (B ~ 0, e.g. an
+    # edge pinned at 0 everywhere). Constant-but-different across chains
+    # (e.g. an inclusion indicator frozen at 1 in one chain and 0 in
+    # another — a multimodal posterior) is the exact divergence R̂ exists
+    # to flag: report +inf, not 1.
+    tiny = 1e-12 * max(1.0, float(np.max(np.abs(mean_j))) ** 2)
+    return np.where(W > 0, rhat, np.where(B <= tiny, 1.0, np.inf))
 
 
 def ess_per_chain(x):

@@ -67,10 +67,15 @@ def test_split_rhat_converged_vs_divergent():
     # separate the chain means: R-hat must blow past 1.3.
     bad = good + np.arange(4)[:, None, None, None] * 3.0
     assert np.all(split_rhat(bad) > 1.3)
-    # constant component stays defined (1.0), not NaN.
+    # globally-constant component stays defined (1.0), not NaN.
     const = np.concatenate([good, np.zeros((4, 400, 3, 1))], axis=-1)
     r2 = split_rhat(const)
     assert np.all(np.isfinite(r2)) and r2[0, -1] == 1.0
+    # constant WITHIN chains but different ACROSS them (frozen inclusion
+    # indicator in a multimodal posterior) must flag divergence, not 1.0.
+    stuck = np.zeros((4, 400, 1))
+    stuck[2:] = 1.0
+    assert np.isinf(split_rhat(stuck)[0])
 
 
 def test_ess_per_chain_ar1():

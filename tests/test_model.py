@@ -176,9 +176,11 @@ def test_fit_returns_samples():
     m = pt.SparseBernoulliGLM(4, B=2, L=4, seed=6)
     m.generate(300, keep=True)
     out = m.fit(n_samples=6, n_burnin=2, thin=2)
-    assert out["A"].shape == (3, 4, 4)
-    assert out["W"].shape == (3, 4, 4, 2)
-    assert out["bias"].shape == (3, 4)
+    # thin contract matches fit_compiled: n_samples samples from
+    # n_burnin + n_samples*thin sweeps.
+    assert out["A"].shape == (6, 4, 4)
+    assert out["W"].shape == (6, 4, 4, 2)
+    assert out["bias"].shape == (6, 4)
     assert np.all(np.isfinite(out["lls"]))
 
 
@@ -276,7 +278,8 @@ def test_fit_ensemble_rhat():
     assert out["bias"].shape == (2, 12, 4)
     assert out["rhat_edge"].shape == (4, 4)
     assert out["rhat_bias"].shape == (4,)
-    assert np.all(np.isfinite(out["rhat_edge"]))
+    # +inf is a legitimate value (a frozen-but-disagreeing edge); NaN is not
+    assert not np.isnan(out["rhat_edge"]).any()
     assert np.isfinite(out["rhat_ll"])
     # chains differ (independent prior inits actually ran)
     assert not np.array_equal(out["bias"][0], out["bias"][1])
