@@ -18,6 +18,13 @@ if not os.environ.get("PYGLM_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # The quick lane is compile-bound on this 1-core box (every model
+    # instance jits its own sweep closure; the mesh tests trace large SPMD
+    # programs). The persistent cache is keyed by HLO hash, so any library
+    # change recompiles automatically while unchanged programs deserialize
+    # in milliseconds across pytest runs.
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 else:
     # TPU lane: remote (axon) compiles are slow — persist them across runs
     # (CLAUDE.md environment note).

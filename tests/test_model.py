@@ -269,13 +269,13 @@ def test_fit_compiled_thin_and_zero_burnin():
 
 def test_fit_ensemble_rhat():
     m = pt.SparseBernoulliGLM(4, B=2, L=4, seed=3)
-    m.generate(600, keep=True)
+    m.generate(400, keep=True)
     b_before = m.bias.copy()
     key_before = m._key
-    out = m.fit_ensemble(n_chains=2, n_samples=12, n_burnin=6)
-    assert out["A"].shape == (2, 12, 4, 4)
-    assert out["W"].shape == (2, 12, 4, 4, 2)
-    assert out["bias"].shape == (2, 12, 4)
+    out = m.fit_ensemble(n_chains=2, n_samples=8, n_burnin=4)
+    assert out["A"].shape == (2, 8, 4, 4)
+    assert out["W"].shape == (2, 8, 4, 4, 2)
+    assert out["bias"].shape == (2, 8, 4)
     assert out["rhat_edge"].shape == (4, 4)
     assert out["rhat_bias"].shape == (4,)
     # +inf is a legitimate value (a frozen-but-disagreeing edge); NaN is not
@@ -293,12 +293,12 @@ def test_chain_reproducibility_same_seed():
     models on the same data must produce bit-identical chains (SURVEY.md
     §5 race-detection row — no shared mutable RNG state exists under jit),
     and a different seed must diverge."""
-    Y = pt.SparseBernoulliGLM(5, B=2, L=4, seed=8).generate(500, keep=False)
+    Y = pt.SparseBernoulliGLM(4, B=2, L=4, seed=8).generate(300, keep=False)
 
     def chain(seed):
-        m = pt.SparseBernoulliGLM(5, B=2, L=4, seed=seed)
+        m = pt.SparseBernoulliGLM(4, B=2, L=4, seed=seed)
         m.add_data(Y)
-        for _ in range(5):
+        for _ in range(3):
             m.resample_model()
         return m.A, m.W, m.bias
 
