@@ -416,11 +416,14 @@ def _pg_gamma_draw_small(key, b, c):
 # Gamma-series PG(b, c) kernel (general real b — the NB path's hot loop)
 # ---------------------------------------------------------------------------
 
-_GAMMA_K = 16       # series terms drawn in-kernel; KS-indistinguishable
-                    # from K=32/K=128 AND from the exact native b-fold
-                    # Devroye convolution at n=200k across b in
-                    # {0.3, 0.7, 1, 2, 3, 5, 13} (tests/test_polyagamma.py
-                    # gates) — the moment-matched tail absorbs terms k>16
+_GAMMA_K = 8        # series terms drawn in-kernel; KS-indistinguishable
+                    # from K=128 AND from the exact native b-fold Devroye
+                    # convolution at n=200k across b in {1..130} x c in
+                    # {0, 1.5, 6, 30} (benchmarks/k8_study.py; gated by
+                    # tests/test_polyagamma.py) — the moment-matched tail
+                    # absorbs terms k>8 (tail variance share 6.5e-5; its
+                    # 2-moment gamma match leaves a 1.8x third-cumulant
+                    # mismatch on that share, invisible at n=200k KS)
 _GAMMA_R = 3        # Marsaglia-Tsang rejection rounds per draw
 
 
