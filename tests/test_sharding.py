@@ -207,6 +207,28 @@ def test_sharded_sweep_structured_priors(network, N):
 
 
 @requires_8
+def test_sharded_sweep_negative_binomial():
+    """Full sharded sweeps with NB observations (BASELINE config 2's
+    family): the gamma-series PG shard_map dispatch, the CRT dispersion
+    (r) resampling, and the fused weight update all run under one mesh —
+    previously no non-Bernoulli family ever swept under a mesh."""
+    model = pt.SparseNegativeBinomialGLM(
+        16, B=2, L=4, seed=0, obs_kwargs=dict(max_y=16),
+        net_kwargs=dict(rho_init=0.2, mu_bias=-2.0, sigma_w=0.01,
+                        learn_weight_prior=False))
+    Y = jnp.minimum(model.generate(256, keep=False), 15.0)
+    model.add_data(Y)
+    model.shard(make_mesh(n_time=2, n_neuron=4))
+    r0 = np.asarray(model.state.aux["r"]).copy()
+    for _ in range(3):
+        d = model.resample_model()
+    assert np.isfinite(d["log_likelihood"])
+    # the dispersion conditional actually moved r under the mesh
+    assert not np.allclose(np.asarray(model.state.aux["r"]), r0)
+    assert model.A.shape == (16, 16)
+
+
+@requires_8
 def test_fit_compiled_sharded():
     """fit_compiled on a sharded model: the whole chain is one lax.scan of
     the SPMD sweep on the mesh — zero per-sweep host dispatch."""
