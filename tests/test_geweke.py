@@ -175,6 +175,31 @@ def test_geweke_negative_binomial():
     assert abs(r.var() / v_true - 1) < 0.35, r.var()
 
 
+def test_geweke_binomial():
+    """Binomial observations (n_trials > 1): every auxiliary draw is
+    PG(n_trials, psi), so this runs the integer-b gamma-series dispatch
+    (kappa = y - n/2) through the full model conditional loop — the one
+    observation family the other Geweke configs never touch."""
+    from pyglm_tpu.models.observations import Binomial
+    basis = cosine_basis(B=B, L=L)
+    obs = Binomial(n_trials=5)
+    net = ErdosRenyiConfig(N=N, B=B, rho_init=0.4, learn_rho=False,
+                           learn_weight_prior=False, sigma_w=0.3,
+                           mu_bias=-1.0, sigma_bias=0.3)
+    series = geweke_chain(jax.random.key(9), obs, net, N, B, basis, T,
+                          spike_slab=True, n_iters=N_ITERS)
+    b = series["bias"][::THIN]
+    z = _z(b.mean(), net.mu_bias, net.sigma_bias ** 2, b.size)
+    assert z < 5.0, (b.mean(), z)
+    dens = series["A_density"][::THIN]
+    z = _z(dens.mean(), 0.4, 0.24, dens.size * N * N)
+    assert z < 5.0, (dens.mean(), z)
+    wsq = series["W_sq"][::THIN]
+    nact = series["n_active"][::THIN]
+    ratio = wsq.sum() / (nact.sum() * net.sigma_w)
+    assert abs(ratio - 1) < 0.25, ratio
+
+
 def test_geweke_sbm():
     """SBM prior: the block connection-probability marginals must match
     their Beta(a, b) prior — exercises label Gibbs + block conjugates."""
