@@ -57,6 +57,11 @@ def geweke_chain(key, obs, network, N: int, B: int, basis, T: int,
         }
         if hasattr(state.net, "rho"):
             out["rho"] = state.net.rho
+        if hasattr(state.net, "mu") and hasattr(state.net, "Sigma"):
+            # learned Gaussian weight-prior hypers (shared for dense/ER/
+            # latent-distance; per-block for SBM)
+            out["prior_mu"] = state.net.mu
+            out["prior_Sigma"] = state.net.Sigma
         if hasattr(state.net, "pi"):
             out["pi"] = state.net.pi
         if hasattr(state.net, "c"):

@@ -175,6 +175,39 @@ def test_geweke_negative_binomial():
     assert abs(r.var() / v_true - 1) < 0.35, r.var()
 
 
+def test_geweke_learned_weight_prior():
+    """NIW weight-prior learning — the (mu_W, Sigma_W | active weights)
+    conjugate conditional (networks.py::_masked_niw_resample) — has its
+    stationary hyper marginals checked against the NIW prior: Sigma ~
+    IW(nu0, Psi0) and mu | Sigma ~ N(mu0, Sigma/kappa0). No other Geweke
+    config runs with learn_weight_prior=True."""
+    basis = cosine_basis(B=B, L=L)
+    obs = Bernoulli()
+    nu0, psi0, kappa0 = 6.0, 2.0, 2.0
+    net = ErdosRenyiConfig(
+        N=N, B=B, rho_init=0.4, learn_rho=False, learn_weight_prior=True,
+        niw_mu0=0.0, niw_kappa0=kappa0, niw_nu0=nu0, niw_psi0=psi0,
+        mu_bias=-1.0, sigma_bias=0.3)
+    series = geweke_chain(jax.random.key(10), obs, net, N, B, basis, T,
+                          spike_slab=True, n_iters=N_ITERS)
+    # B=1: Sigma ~ IW_1(nu0, Psi0) = InvGamma(nu0/2, Psi0/2)
+    Sig = series["prior_Sigma"][::THIN].reshape(-1)
+    m_S = psi0 / (nu0 - 2.0)
+    v_S = 2.0 * psi0 ** 2 / ((nu0 - 2.0) ** 2 * (nu0 - 4.0))
+    z = _z(Sig.mean(), m_S, v_S, Sig.size)
+    assert z < 5.0, (Sig.mean(), m_S, z)
+    # marginal mu: mean mu0, variance E[Sigma]/kappa0
+    mu = series["prior_mu"][::THIN].reshape(-1)
+    v_mu = m_S / kappa0
+    z = _z(mu.mean(), 0.0, v_mu, mu.size)
+    assert z < 5.0, (mu.mean(), z)
+    assert abs(mu.var() / v_mu - 1) < 0.3, mu.var()
+    # bias conditional unchanged by the learned prior
+    b = series["bias"][::THIN]
+    z = _z(b.mean(), net.mu_bias, net.sigma_bias ** 2, b.size)
+    assert z < 5.0, (b.mean(), z)
+
+
 def test_geweke_binomial():
     """Binomial observations (n_trials > 1): every auxiliary draw is
     PG(n_trials, psi), so this runs the integer-b gamma-series dispatch
