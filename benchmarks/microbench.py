@@ -11,11 +11,12 @@ Methodology (the three traps that silently corrupt naive TPU timings here
   3. XLA narrows a dot whose output is only sliced: results are consumed
      with a full reduction.
 
-Run: python benchmarks/microbench.py [--small | --config5]
+Run: python benchmarks/microbench.py [--small | --config5 | --nb]
 Prints one line per stage (ms per sweep-equivalent call).
 --config5 swaps the flagship shapes for BASELINE config 5's (N=500,
 T=20k, latent-distance prior) — the stage ledger behind the config-5
-sweeps/s numbers in BASELINE.md.
+sweeps/s numbers in BASELINE.md. --nb keeps the flagship shapes but
+swaps in negative-binomial observations (gamma-series PG + CRT r).
 """
 import os
 import sys
@@ -39,9 +40,21 @@ def main():
 
     small = "--small" in sys.argv
     cfg5 = "--config5" in sys.argv
+    nb = "--nb" in sys.argv
     N, T, B, L = (20, 5_000, 4, 10) if small else (
         (500, 20_000, 4, 10) if cfg5 else (200, 100_000, 4, 10))
-    if cfg5:
+    if nb:
+        true = pt.SparseNegativeBinomialGLM(
+            N, B=B, L=L, seed=42,
+            net_kwargs=dict(rho_init=0.05, learn_rho=False, mu_bias=-2.0,
+                            sigma_bias=0.25, learn_weight_prior=False,
+                            sigma_w=0.003),
+            obs_kwargs=dict(max_y=16))
+        Y = jnp.minimum(true.generate(T, keep=False), 15.0)
+        model = pt.SparseNegativeBinomialGLM(
+            N, B=B, L=L, seed=0, precision="default",
+            obs_kwargs=dict(max_y=16))
+    elif cfg5:
         true = pt.NonlinearAutoregressiveModel(
             N, B=B, L=L, observation="bernoulli",
             network="latent_distance", spike_and_slab=True, seed=5,
@@ -106,6 +119,10 @@ def main():
     timeit("log-likelihood",
            lambda Y_, psi, k, i: jnp.sum(obs.log_likelihood(
                Y_, psi + i * 1e-9, state.aux)), d.Y, psi0)
+    if isinstance(state.aux, dict) and "r" in state.aux:
+        timeit("NB aux resample (CRT r)",
+               lambda Y_, psi, k, i: jnp.sum(obs.resample_aux(
+                   k, state.aux, Y_, psi + i * 1e-9)["r"]), d.Y, psi0)
     sweep = model._sweep
     timeit("FULL sweep",
            lambda st, ds, k, i: sweep(k, st, ds)[1]["log_likelihood"],
