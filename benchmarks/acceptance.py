@@ -32,21 +32,23 @@ import numpy as np
 # length (monotone in chain length), so 0.72 is ~93% of the expected
 # value at this chain length and ~75% of the asymptotic ceiling.
 THRESHOLDS = {
+    # Floors retuned 2026-08-18 after the chains were extended (100+30 ->
+    # 500+150, cfg2 400+100 -> 1200+300): at scanned-driver speeds the
+    # longer chains cost seconds and the measured recoveries sit at their
+    # ceilings — cfg2 AUC 0.899 (truth-init ceiling 0.898), cfg3 0.962,
+    # cfg4 0.965, predictive-LL gaps 0.0008-0.0016/bin. Floors are the
+    # measured values minus an MC margin.
     "1_bernoulli_dense": {
-        "weight_corr": (">=", 0.72), "pred_ll_gap_per_bin": ("<=", 0.005)},
-    # cfg2 runs a 400+100-sweep chain: the round-1 AUC 0.764 was an
-    # undercooked 130-sweep chain, not a sampler gap — at 500 sweeps the
-    # fresh chain reaches 0.871 vs a truth-initialized ceiling of 0.898
-    # (benchmarks/config2_analysis.py; BASELINE.md).
+        "weight_corr": (">=", 0.75), "pred_ll_gap_per_bin": ("<=", 0.002)},
     "2_negative_binomial": {
-        "link_auc": (">=", 0.83), "weight_corr": (">=", 0.80),
-        "pred_ll_gap_per_bin": ("<=", 0.006)},
+        "link_auc": (">=", 0.86), "weight_corr": (">=", 0.85),
+        "pred_ll_gap_per_bin": ("<=", 0.003)},
     "3_spike_slab": {
-        "link_auc": (">=", 0.82), "weight_corr": (">=", 0.87),
-        "pred_ll_gap_per_bin": ("<=", 0.016)},
+        "link_auc": (">=", 0.93), "weight_corr": (">=", 0.93),
+        "pred_ll_gap_per_bin": ("<=", 0.004)},
     "4_sbm": {
-        "link_auc": (">=", 0.84), "weight_corr": (">=", 0.87),
-        "pred_ll_gap_per_bin": ("<=", 0.014)},
+        "link_auc": (">=", 0.93), "weight_corr": (">=", 0.93),
+        "pred_ll_gap_per_bin": ("<=", 0.004)},
     # cfg5 runs a longer chain (see main): AUC follows the measured mixing
     # rate 0.962 - 0.757/sqrt(S/75.5) (BASELINE.md ESS analysis). At the
     # gated 3000+300-sweep length the fit predicts ~0.84; the floor is
@@ -189,7 +191,10 @@ def main():
     import pyglm_tpu as pt
 
     q = args.quick
-    n_burn, n_avg = (10, 5) if q else (100, 30)
+    # Chain lengths were 100+30 when sweeps cost ~30 ms of host dispatch
+    # each; the scanned drivers run 60-150 sweeps/s at these shapes, so
+    # longer chains cost seconds and buy tighter regression floors.
+    n_burn, n_avg = (10, 5) if q else (500, 150)
     results = []
 
     # 1. Bernoulli GLM, dense weights, ER-style shared weight prior.
@@ -212,7 +217,7 @@ def main():
             N, B=4, L=10, seed=0, obs_kwargs=dict(max_y=256))
         results.append(run_config("2_negative_binomial", true, model,
                                   T, T // 10,
-                                  (10 if q else 400), (5 if q else 100)))
+                                  (10 if q else 1200), (5 if q else 300)))
 
     # 3. Spike-and-slab joint (A, W) Gibbs.
     if want("3_spike_slab"):
