@@ -51,16 +51,17 @@ def main():
             nat = pg_int_b_native(
                 np.full(N, float(b)), np.full(N, float(c)), seed=b * 100 + 7)
             t_nat = time.time() - t0
-            t_ours = 0.0
+            t_ours = {}
             for K in (8, 16):
                 key, k2 = jax.random.split(key)
                 t0 = time.time()
                 ours = jax.block_until_ready(pg_gamma_series(
                     k2, jnp.full((N,), float(b)), jnp.full((N,), float(c)),
                     K=K))
-                t_ours = time.time() - t0
+                t_ours[K] = time.time() - t0
                 row(b, c, K, ks(ours, nat))
-            print(f"    [native {t_nat:.1f}s, series {t_ours:.1f}s]",
+            print(f"    [native {t_nat:.1f}s, series "
+                  f"K8 {t_ours[8]:.1f}s / K16 {t_ours[16]:.1f}s]",
                   flush=True)
     # Fractional b: K vs K=128 self-comparison.
     for b in [0.3, 0.7, 1.5, 4.2]:

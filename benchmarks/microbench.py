@@ -44,16 +44,9 @@ def main():
     N, T, B, L = (20, 5_000, 4, 10) if small else (
         (500, 20_000, 4, 10) if cfg5 else (200, 100_000, 4, 10))
     if nb:
-        true = pt.SparseNegativeBinomialGLM(
-            N, B=B, L=L, seed=42,
-            net_kwargs=dict(rho_init=0.05, learn_rho=False, mu_bias=-2.0,
-                            sigma_bias=0.25, learn_weight_prior=False,
-                            sigma_w=0.003),
-            obs_kwargs=dict(max_y=16))
-        Y = jnp.minimum(true.generate(T, keep=False), 15.0)
-        model = pt.SparseNegativeBinomialGLM(
-            N, B=B, L=L, seed=0, precision="default",
-            obs_kwargs=dict(max_y=16))
+        from common import nb_flagship_models
+        true, fresh, Y = nb_flagship_models(pt, jnp, N, T, B=B, L=L)
+        model = fresh("default")
     elif cfg5:
         true = pt.NonlinearAutoregressiveModel(
             N, B=B, L=L, observation="bernoulli",

@@ -28,21 +28,15 @@ def main():
     import numpy as np
     import pyglm_tpu as pt
 
+    from common import nb_flagship_models
+
     small = "--small" in sys.argv
     n, t = (20, 5_000) if small else (N, T)
 
-    true = pt.SparseNegativeBinomialGLM(
-        n, B=B, L=L, seed=42,
-        net_kwargs=dict(rho_init=0.05, learn_rho=False, mu_bias=-2.0,
-                        sigma_bias=0.25, learn_weight_prior=False,
-                        sigma_w=0.003),
-        obs_kwargs=dict(max_y=16))
-    Y = jnp.minimum(true.generate(t, keep=False), 15.0)
+    true, fresh, Y = nb_flagship_models(pt, jnp, n, t, B=B, L=L)
 
     def measure(precision):
-        model = pt.SparseNegativeBinomialGLM(
-            n, B=B, L=L, seed=0, precision=precision,
-            obs_kwargs=dict(max_y=16))
+        model = fresh(precision)
         model.add_data(Y)
         sweep = model._sweep
 
@@ -72,7 +66,8 @@ def main():
     from pyglm_tpu.ops.pg_pallas import pg_gamma_series_pallas
     b0 = jnp.full((t, n), 4.5, jnp.float32)
     c0 = jnp.full((t, n), 1.0, jnp.float32)
-    R = 20
+    R = 50        # >= 50 scanned iters so the ~31 ms axon readback
+                  # amortizes below the measurement noise (CLAUDE.md)
 
     @jax.jit
     def pg_run(b, c):
