@@ -279,6 +279,42 @@ def test_shard_model_reingests_time_sharded():
 
 
 @requires_8
+def test_checkpoint_resume_sharded(tmp_path):
+    """save_state/load_state on a SHARDED model: resuming mid-chain must
+    continue bit-identically to an uninterrupted sharded run (the loaded
+    host arrays get resharded by the jitted SPMD sweep)."""
+    from pyglm_tpu.utils.checkpoint import save_state, load_state
+    mesh = make_mesh(n_time=2, n_neuron=4)
+    true = pt.SparseBernoulliGLM(16, B=2, L=4, seed=3)
+    Y = true.generate(512, keep=False)
+
+    def build():
+        m = pt.SparseBernoulliGLM(16, B=2, L=4, seed=7)
+        m.add_data(Y)
+        m.shard(mesh)
+        return m
+
+    m1 = build()
+    for _ in range(6):
+        d1 = m1.resample_model()
+
+    m2 = build()
+    for _ in range(3):
+        m2.resample_model()
+    path = str(tmp_path / "ck.npz")
+    save_state(path, m2)
+    m3 = build()
+    load_state(path, m3)
+    for _ in range(3):
+        d3 = m3.resample_model()
+
+    np.testing.assert_array_equal(np.asarray(m1.A), np.asarray(m3.A))
+    np.testing.assert_array_equal(np.asarray(m1.W), np.asarray(m3.W))
+    np.testing.assert_array_equal(np.asarray(m1.bias), np.asarray(m3.bias))
+    assert float(d1["log_likelihood"]) == float(d3["log_likelihood"])
+
+
+@requires_8
 def test_pg_shard_map_distribution():
     """pg_draw_unit under an active mesh routes through jax.shard_map; the
     per-shard draws must still be exact PG(1, c) (KS vs the plain path)."""
