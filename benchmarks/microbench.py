@@ -12,6 +12,7 @@ Methodology (the three traps that silently corrupt naive TPU timings here
      with a full reduction.
 
 Run: python benchmarks/microbench.py [--small | --config5 | --nb]
+                                     [--prec=default|sr|high|highest]
 Prints one line per stage (ms per sweep-equivalent call).
 --config5 swaps the flagship shapes for BASELINE config 5's (N=500,
 T=20k, latent-distance prior) — the stage ledger behind the config-5
@@ -41,12 +42,16 @@ def main():
     small = "--small" in sys.argv
     cfg5 = "--config5" in sys.argv
     nb = "--nb" in sys.argv
+    prec = "default"
+    for a in sys.argv:
+        if a.startswith("--prec="):
+            prec = a.split("=", 1)[1]
     N, T, B, L = (20, 5_000, 4, 10) if small else (
         (500, 20_000, 4, 10) if cfg5 else (200, 100_000, 4, 10))
     if nb:
         from common import nb_flagship_models
         true, fresh, Y = nb_flagship_models(pt, jnp, N, T, B=B, L=L)
-        model = fresh("default")
+        model = fresh(prec)
     elif cfg5:
         true = pt.NonlinearAutoregressiveModel(
             N, B=B, L=L, observation="bernoulli",
@@ -56,7 +61,7 @@ def main():
         model = pt.NonlinearAutoregressiveModel(
             N, B=B, L=L, observation="bernoulli",
             network="latent_distance", spike_and_slab=True, seed=0,
-            net_kwargs=dict(dim=2), precision="default")
+            net_kwargs=dict(dim=2), precision=prec)
     else:
         true = pt.SparseBernoulliGLM(
             N, B=B, L=L, seed=42,
@@ -64,8 +69,7 @@ def main():
                             sigma_bias=0.25, learn_weight_prior=False,
                             sigma_w=1.0))
         Y = true.generate(T, keep=False)
-        model = pt.SparseBernoulliGLM(N, B=B, L=L, seed=0,
-                                      precision="default")
+        model = pt.SparseBernoulliGLM(N, B=B, L=L, seed=0, precision=prec)
     model.add_data(Y)
     d = model.datas[0]
     state = model.state
@@ -99,10 +103,10 @@ def main():
     om0, ka0 = obs.omega_kappa(jax.random.key(1), d.Y, psi0, state.aux)
     hyp = model.network.edge_hypers(state.net)
     from pyglm_tpu.models.weights import resample_spike_slab_tspace
-    timeit("spike-slab stage (fused)",
+    timeit(f"spike-slab stage (fused, {prec})",
            lambda Xf, Xt, om, ka, psi, w, k, i: jnp.sum(
                resample_spike_slab_tspace(
-                   k, Xf, om, ka, w, hyp, B, precision="default",
+                   k, Xf, om, ka, w, hyp, B, precision=prec,
                    psi=psi + i * 1e-9, Xt=Xt)[1]),
            d.Xf, d.Xt, om0, ka0, psi0, w0)
     timeit("network resample",

@@ -42,6 +42,13 @@ class NonlinearAutoregressiveModel:
         config object from pyglm_tpu.models.networks.
       spike_and_slab: resample a sparse adjacency A jointly with W.
       seed: PRNG seed for this model's chain.
+      precision: sufficient-stat accuracy / speed trade of the Gibbs sweep —
+        'high' (default): f32-grade stats (three-pass bf16 MXU emulation,
+        ~1e-7 relative); 'sr': stochastically-rounded single-pass stats —
+        UNBIASED with ~1e-5 relative zero-mean noise, at the speed of the
+        bf16 mode (see ops/ss_pallas.py); 'default': truncated single-pass
+        bf16 (~8e-4 relative, deterministic), the fastest;
+        'highest': full-f32 XLA stats (no Pallas Gram), the slowest.
     """
 
     def __init__(self, N: int, B: int = 4, L: int = 10, basis=None,

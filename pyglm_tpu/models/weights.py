@@ -34,9 +34,17 @@ from pyglm_tpu.utils.utils import logistic
 
 _PRECISIONS = {
     "default": lax.Precision.DEFAULT,
+    "sr": lax.Precision.HIGH,      # XLA fallbacks run f32-grade; the SR
+                                   # trick itself lives in the Pallas kernels
     "high": lax.Precision.HIGH,
     "highest": lax.Precision.HIGHEST,
 }
+
+# Gram pass of the fused spike-and-slab kernels (ops/ss_pallas.py) per model
+# precision: one truncated-bf16 pass / one stochastically-rounded bf16 pass
+# (unbiased, ~1e-5 relative noise at flagship T — see the kernel module
+# docstring) / three-pass bf16 f32-emulation.
+_GRAM_MODES = {"default": "bf16", "sr": "sr", "high": "bf16x3"}
 
 
 class EdgeHypers(NamedTuple):
@@ -371,19 +379,23 @@ def _ss_fused_shard_map(key, Xt, omega, kappa, psi, w_full, hyp: EdgeHypers,
     Tl = T // n_time
     Nl = N // n_neuron
     use_pallas = (_use_pallas_gram() and GB % 8 == 0 and B <= 8
-                  and precision in ("default", "high") and Tl >= 128)
-    fast = precision == "default"
+                  and precision in ("default", "sr", "high") and Tl >= 128)
+    gram = _GRAM_MODES.get(precision, "bf16x3")
     prec = _PRECISIONS[precision]
 
-    def group_pass(Xp, Xg, u_c, om_loc, dW):
+    def group_pass(kg, Xp, Xg, u_c, om_loc, dW):
         """(u_new, M0 (GB,Nl), Jgg (Nl,GB,GB)) for one group; u_c is padded
         (Tpad, npad) on the Pallas branch, raw (Tl, Nl) on the XLA branch."""
         if use_pallas:
             npad = u_c.shape[1]
             dW_p = jnp.pad(dW, ((0, 0), (0, npad - Nl)))
+            # SR rounding bits: an independent stream per group (kg is the
+            # group's key); time shards share kg but round different data.
+            seed = jax.random.key_data(
+                jax.random.fold_in(kg, 0x5417)).astype(jnp.int32)[:2]
             u_new, M0p, Jggp = ss_group_pass_pallas(
                 Xp, Xg, om_loc, u_c, dW_p, Tl,
-                t_chunk=t_chunk, fast=fast)
+                t_chunk=t_chunk, gram=gram, seed=seed)
             M0 = M0p[:, :Nl]
             Jgg = Jggp[:, :Nl].reshape(GB, GB, Nl).transpose(2, 0, 1)
             return u_new, M0, Jgg
@@ -431,7 +443,8 @@ def _ss_fused_shard_map(key, Xt, omega, kappa, psi, w_full, hyp: EdgeHypers,
             gp = jnp.maximum(g - 1, 0)                 # dW_prev == 0 at g=0
             Xp = lax.dynamic_slice(xt, (gp * GB, 0), (GB, Tl))
             Xg = lax.dynamic_slice(xt, (g * GB, 0), (GB, Tl))
-            u_c, M0_loc, Jgg_loc = group_pass(Xp, Xg, u_c, om_loc, dW_prev)
+            u_c, M0_loc, Jgg_loc = group_pass(kg, Xp, Xg, u_c, om_loc,
+                                              dW_prev)
             M0 = lax.psum(M0_loc, "time")
             Jgg = lax.psum(Jgg_loc, "time")
             wg = lax.dynamic_slice(w_nb_c, (g * GB, 0), (GB, Nl))
@@ -574,7 +587,7 @@ def _tspace_impl(key, Xf, omega, kappa, w_full,
         tc_eff //= 2
 
     if (Xt is not None and Jg is None and psi is not None
-            and precision in ("default", "high")
+            and precision in ("default", "sr", "high")
             and GB % 8 == 0 and B <= 8 and T >= 384
             and tc_eff * npad <= 1024 * 256
             and _use_pallas_gram() and len(jax.devices()) == 1
@@ -585,7 +598,7 @@ def _tspace_impl(key, Xf, omega, kappa, w_full,
         A, w_nb, u, sum_om = resample_spike_slab_fused(
             k_kern, Xt, omega, kappa, psi, w_full[: N_pre * B],
             hyp.mu, hyp.Lam, hyp.logit_rho, B, G,
-            t_chunk=tc_eff, fast=(precision == "default"))
+            t_chunk=tc_eff, gram=_GRAM_MODES[precision])
         b_old = w_full[P - 1]
         m_b = jnp.sum(u, axis=0) + sum_om * b_old + hyp.lam_b * hyp.mu_b
         lam_p = hyp.lam_b + sum_om
@@ -600,8 +613,10 @@ def _tspace_impl(key, Xf, omega, kappa, w_full,
         # the opt-in speed mode; fast=False (in-kernel bf16x3, ~7e-7 rel —
         # measured slightly MORE accurate than the XLA HIGH path) for
         # precision='high'. 'highest' keeps the f32 XLA scan.
+        # ('sr' runs bf16x3 on this staged path — the SR trick lives in the
+        # fused ss_pallas kernels, which 'sr' models normally take.)
         pallas_ok = (_use_pallas_gram() and GB % 8 == 0
-                     and precision in ("default", "high"))
+                     and precision in ("default", "sr", "high"))
         if (mesh is not None and mesh.devices.size > 1
                 and T % mesh.shape.get("time", 1) == 0
                 and N % mesh.shape.get("neuron", 1) == 0):

@@ -25,8 +25,20 @@ RNG stream is the in-kernel hardware PRNG instead of jax.random (parity is
 statistical, as for the PG kernels — tests/test_ss_fused.py).
 
 Precision: M0 and the scatter matmul run bf16x3 (~f32-grade, the same
-manual splitting as ops/gram_pallas.py) in every mode; the Gram runs a
-single bf16 pass for precision='default' and bf16x3 for 'high'.
+manual splitting as ops/gram_pallas.py) in every mode; the Gram pass is
+selected by `gram`:
+  'bf16'   — one truncated-bf16 pass (precision='default'): ~8e-4 relative
+             error, deterministic (a systematic bias of the stats).
+  'sr'     — one STOCHASTICALLY-ROUNDED bf16 pass (precision='sr'): both
+             operands are rounded to bf16 with probability proportional to
+             the fractional distance (in-kernel PRNG bits added below the
+             bf16 mantissa, then truncated), so every product is an
+             unbiased estimate of the f32 product and the rounding errors
+             are zero-mean and independent across the T contraction. The
+             accumulated Gram entry is unbiased with relative noise
+             ~2^-9/sqrt(T_eff) (~1e-5 at flagship T) — near-f32-grade
+             statistics at single-pass MXU cost.
+  'bf16x3' — three-pass bf16 emulation (~7e-7 relative, precision='high').
 """
 from __future__ import annotations
 
@@ -46,6 +58,28 @@ def _uniform(shape):
     u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (
         1.0 / 16777216.0)
     return u + (1.0 / 33554432.0)
+
+
+def _sr16(x):
+    """Stochastic rounding f32 -> bf16: add PRNG bits below the bf16
+    mantissa, then truncate (keep the top 16 bits of the IEEE pattern).
+    Rounds to each bf16 neighbor with probability proportional to the
+    fractional distance, so E[_sr16(x)] == x exactly; values already
+    representable in bf16 are preserved. Validated on-chip: neighbors
+    bounded, unbiased at z < 4 over 32k cells x 512 draws."""
+    r, c = x.shape
+    if r % 2 == 0:
+        # both 16-bit halves of each 32-bit draw round one element each —
+        # half the PRNG volume (arithmetic >> sign-fill is masked off)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((r // 2, c)), jnp.int32)
+        rnd = jnp.concatenate([bits & jnp.int32(0xFFFF),
+                               (bits >> 16) & jnp.int32(0xFFFF)], axis=0)
+    else:
+        rnd = pltpu.bitcast(pltpu.prng_random_bits((r, c)),
+                            jnp.int32) & jnp.int32(0xFFFF)
+    u = pltpu.bitcast(x, jnp.int32)
+    u = (u + rnd) & jnp.int32(-65536)          # 0xFFFF0000
+    return pltpu.bitcast(u, jnp.float32).astype(jnp.bfloat16)
 
 
 def _normal_rows(n_rows, npad):
@@ -233,7 +267,7 @@ def _edge_scan(G, B, npad, jgg, m0s, w_ref, mu_ref, lam_ref, lrho_ref,
         aout_ref[i, :] = a
 
 
-def _make_kernel(Ng, G, B, npad, T, tc, fast):
+def _make_kernel(Ng, G, B, npad, T, tc, gram):
     GB = G * B
 
     def kernel(seed_ref,
@@ -291,9 +325,11 @@ def _make_kernel(Ng, G, B, npad, T, tc, fast):
                     pieces.append(
                         (xI[:, None, :] * xJ[None, :, :]).reshape(B * B, tc))
             Z = jnp.concatenate(pieces, axis=0)
-            if fast:
+            if gram == "bf16":
                 jgg[:, :] += _mm(Z.astype(jnp.bfloat16),
                                  om.astype(jnp.bfloat16))
+            elif gram == "sr":
+                jgg[:, :] += _mm(_sr16(Z), _sr16(om))
             else:
                 jgg[:, :] += _mm3(Z, om)
 
@@ -304,10 +340,10 @@ def _make_kernel(Ng, G, B, npad, T, tc, fast):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("B", "G", "t_chunk", "fast"))
+@partial(jax.jit, static_argnames=("B", "G", "t_chunk", "gram"))
 def resample_spike_slab_fused(key, Xt, omega, kappa, psi, w_nb, hyp_mu,
                               hyp_lam, hyp_lrho, B: int, G: int,
-                              t_chunk: int = 512, fast: bool = False):
+                              t_chunk: int = 512, gram: str = "bf16x3"):
     """One fused pass of the grouped collapsed spike-and-slab update.
 
     Args:
@@ -318,6 +354,7 @@ def resample_spike_slab_fused(key, Xt, omega, kappa, psi, w_nb, hyp_mu,
     Returns (A (N_pre, N), w_nb_new, u (T, N), sum_om (N,)) — the bias
     column update stays with the caller (it needs sum(u) after this pass).
     """
+    assert gram in ("bf16", "sr", "bf16x3"), gram
     P, T = Xt.shape
     N = omega.shape[1]
     # N_pre from the packed weight rows, NOT P // B: with B == 1 the design's
@@ -366,7 +403,7 @@ def resample_spike_slab_fused(key, Xt, omega, kappa, psi, w_nb, hyp_mu,
                         ).reshape(Ng * G8, npad)
 
     seed = jax.random.key_data(key).astype(jnp.uint32)[:2].astype(jnp.int32)
-    kernel = _make_kernel(Ng, G, B, npad, T, tc, fast)
+    kernel = _make_kernel(Ng, G, B, npad, T, tc, gram)
 
     def ix_g(g, t):
         return (jnp.minimum(g, Ng - 1), t)
@@ -445,13 +482,15 @@ def ss_group_pass_tc(T: int, t_chunk: int = 512) -> int:
     return tc
 
 
-def _make_group_pass_kernel(T, tc, fast):
-    def kernel(xp_ref, xg_ref, om_ref, u_ref, dw_ref,
+def _make_group_pass_kernel(T, tc, gram):
+    def kernel(seed_ref, xp_ref, xg_ref, om_ref, u_ref, dw_ref,
                uout_ref, m0_ref, jgg_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
+            if gram == "sr":
+                pltpu.prng_seed(seed_ref[0], seed_ref[1])
             m0_ref[:] = jnp.zeros_like(m0_ref)
             jgg_ref[:] = jnp.zeros_like(jgg_ref)
 
@@ -469,18 +508,21 @@ def _make_group_pass_kernel(T, tc, fast):
         m0_ref[:] += _mm3(xg, u_new)                     # gather
         GB = xg.shape[0]
         Z = (xg[:, None, :] * xg[None, :, :]).reshape(GB * GB, tc)
-        if fast:
+        if gram == "bf16":
             jgg_ref[:] += _mm(Z.astype(jnp.bfloat16),
                               om.astype(jnp.bfloat16))
+        elif gram == "sr":
+            jgg_ref[:] += _mm(_sr16(Z), _sr16(om))
         else:
             jgg_ref[:] += _mm3(Z, om)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("T", "t_chunk", "fast"))
+@partial(jax.jit, static_argnames=("T", "t_chunk", "gram"))
 def ss_group_pass_pallas(Xp, Xg, omega_pad, u_pad, dW_pad, T: int,
-                         t_chunk: int = 512, fast: bool = False):
+                         t_chunk: int = 512, gram: str = "bf16x3",
+                         seed=None):
     """One fused scatter + gather + Gram pass over a presyn group:
 
         u    -= omega * (Xp' dW)        (apply the PREVIOUS group's draws)
@@ -493,21 +535,30 @@ def ss_group_pass_pallas(Xp, Xg, omega_pad, u_pad, dW_pad, T: int,
       omega_pad, u_pad: (Tpad, npad) zero-padded to the chunk boundary and
         the 128-lane boundary.
       dW_pad: (GB, npad).
+      gram: Gram precision mode — 'bf16' | 'sr' | 'bf16x3' (see module
+        docstring). 'sr' requires `seed`, a (2,) int32 PRNG seed (e.g.
+        ``jax.random.key_data(key)[:2]``) for the in-kernel rounding bits.
     Returns (u_new (Tpad, npad), M0 (GB, npad), Jgg (GB*GB, npad)).
     u_pad is aliased into u_new; every block is visited exactly once, so the
     monolithic kernel's revisit hazard cannot arise here.
     """
+    assert gram in ("bf16", "sr", "bf16x3"), gram
     GB = Xg.shape[0]
     Tpad, npad = u_pad.shape
     tc = ss_group_pass_tc(T, t_chunk)
     n_chunks = -(-T // tc)
     assert Tpad == n_chunks * tc, (Tpad, T, tc)
+    if seed is None:
+        assert gram != "sr", "gram='sr' needs an explicit PRNG seed"
+        seed = jnp.zeros((2,), jnp.int32)
+    seed = jnp.asarray(seed, jnp.int32)
 
-    kernel = _make_group_pass_kernel(T, tc, fast)
+    kernel = _make_group_pass_kernel(T, tc, gram)
     u_new, M0, Jgg = pl.pallas_call(
         kernel,
         grid=(n_chunks,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((GB, tc), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((GB, tc), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, npad), lambda t: (t, 0),
@@ -530,6 +581,6 @@ def ss_group_pass_pallas(Xp, Xg, omega_pad, u_pad, dW_pad, T: int,
             jax.ShapeDtypeStruct((GB, npad), jnp.float32),
             jax.ShapeDtypeStruct((GB * GB, npad), jnp.float32),
         ],
-        input_output_aliases={3: 0},
-    )(Xp, Xg, omega_pad, u_pad, dW_pad)
+        input_output_aliases={4: 0},
+    )(seed, Xp, Xg, omega_pad, u_pad, dW_pad)
     return u_new, M0, Jgg
