@@ -6,10 +6,12 @@ Gibbs sweep = PG draws for all 20M auxiliaries + X'OmegaX stats for all
 neurons + collapsed spike-and-slab over all 40k edges + network hypers.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"value_fast", "vs_baseline_fast"} — `value` is the LIBRARY-DEFAULT
-precision ("high": bf16x3 fused stats, f32-grade); `value_fast` is the
-opt-in bf16 speed mode (precision="default", parity-validated vs the f64
-oracle at the tests/test_numpy_parity.py protocol). VERDICT r2 weak #2:
+"value_fast", "vs_baseline_fast", "value_sr"} — `value` is the
+LIBRARY-DEFAULT precision ("high": bf16x3 fused stats, f32-grade);
+`value_fast` is the opt-in bf16 speed mode (precision="default",
+parity-validated vs the f64 oracle at the tests/test_numpy_parity.py
+protocol); `value_sr` is the unbiased stochastic-rounding mode
+(precision="sr", ops/ss_pallas.py). VERDICT r2 weak #2:
 the headline number is now the default mode, with the speed mode reported
 alongside rather than silently substituted.
 
@@ -95,6 +97,9 @@ def main():
     # vs the f64 oracle — the tests/test_numpy_parity.py protocol).
     value = measure("high")
     value_fast = measure("default")
+    # "sr" = stochastically-rounded single-pass Gram stats: unbiased
+    # (zero-mean ~1e-5 relative noise at this T) at near-speed-mode cost.
+    value_sr = measure("sr")
     print(json.dumps({
         "metric": f"gibbs_sweeps_per_sec_N{n}_T{t}_B{B}",
         "value": round(value, 4),
@@ -103,6 +108,7 @@ def main():
         "value_fast": round(value_fast, 4),
         "vs_baseline_fast": round(value_fast / CPU_BASELINE_SWEEPS_PER_SEC,
                                   1),
+        "value_sr": round(value_sr, 4),
     }))
 
 

@@ -431,8 +431,16 @@ def _ss_fused_shard_map(key, Xt, omega, kappa, psi, w_full, hyp: EdgeHypers,
             tc = ss_group_pass_tc(Tl, t_chunk)
             pad_t = -(-Tl // tc) * tc - Tl
             npad = -(-Nl // 128) * 128
-            om_loc = jnp.pad(om, ((0, pad_t), (0, npad - Nl)))
-            u_c = jnp.pad(u, ((0, pad_t), (0, npad - Nl)))
+            # bf16 omega stream for the speed modes (ss_pallas module
+            # docstring): RTN of a fresh draw is zero-mean. u is rebuilt
+            # from the SAME rounded om so the residual recursion is
+            # self-consistent; u itself stays f32 (a bf16 u stream was
+            # measured net-negative — BASELINE.md r3).
+            om_st = (om.astype(jnp.bfloat16) if gram in ("bf16", "sr")
+                     else om)
+            u_st = ka - om_st.astype(jnp.float32) * ps
+            om_loc = jnp.pad(om_st, ((0, pad_t), (0, npad - Nl)))
+            u_c = jnp.pad(u_st, ((0, pad_t), (0, npad - Nl)))
         else:
             om_loc = om
             u_c = u
@@ -458,7 +466,8 @@ def _ss_fused_shard_map(key, Xt, omega, kappa, psi, w_full, hyp: EdgeHypers,
             body, (u_c, w_nb, jnp.zeros((GB, Nl), jnp.float32)), xs)
 
         # Epilogue: the last group's draws have not been scattered yet.
-        u = u_c[:Tl, :Nl] if use_pallas else u_c
+        # (upcast: u_c streams bf16 under gram='sr')
+        u = (u_c[:Tl, :Nl].astype(jnp.float32) if use_pallas else u_c)
         Xl = lax.dynamic_slice(xt, ((Ng - 1) * GB, 0), (GB, Tl))
         u = u - om * lax.dot_general(
             Xl, dW_last, (((0,), (0,)), ((), ())),
@@ -600,11 +609,14 @@ def _tspace_impl(key, Xf, omega, kappa, w_full,
             hyp.mu, hyp.Lam, hyp.logit_rho, B, G,
             t_chunk=tc_eff, gram=_GRAM_MODES[precision])
         b_old = w_full[P - 1]
-        m_b = jnp.sum(u, axis=0) + sum_om * b_old + hyp.lam_b * hyp.mu_b
+        # u comes back bf16 under gram='sr' (stream format): accumulate the
+        # column sums in f32 and let the bias scatter below promote.
+        m_b = (jnp.sum(u, axis=0, dtype=jnp.float32)
+               + sum_om * b_old + hyp.lam_b * hyp.mu_b)
         lam_p = hyp.lam_b + sum_om
         b_new = (m_b / lam_p
                  + jax.random.normal(k_bias, (N,)) / jnp.sqrt(lam_p))
-        u = u - omega * (b_new - b_old)[None, :]
+        u = u.astype(jnp.float32) - omega * (b_new - b_old)[None, :]
         w = jnp.concatenate([w_nb, b_new[None, :]], axis=0)
         return A, w, u, sum_om
 

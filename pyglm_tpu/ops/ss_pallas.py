@@ -39,6 +39,19 @@ selected by `gram`:
              ~2^-9/sqrt(T_eff) (~1e-5 at flagship T) — near-f32-grade
              statistics at single-pass MXU cost.
   'bf16x3' — three-pass bf16 emulation (~7e-7 relative, precision='high').
+
+HBM streams: u + omega are re-read/written once per presyn group (~8
+GB/sweep at flagship scale in f32). For gram in ('bf16', 'sr') omega
+streams as bf16: omega is a FRESH continuous draw every sweep, so its
+round-to-nearest storage error is zero-mean against the smooth PG
+density (a sawtooth integrating to ~0) — no systematic bias, unlike
+rounding the fixed design (measured −0.7 ms/sweep at flagship scale).
+The kernels also accept a bf16 u stream generically by dtype (SR writes
+via _sr16 to avoid error-feedback stagnation of sub-ulp scatter
+corrections), but the library does NOT use it: the A/B measured the
+kernel as pipeline-bound, so halving u's bytes saved ~0.5 ms while the
+SR write ops plus the exact-psi recompute it forces in the sweep cost
+~1.9 ms (BASELINE.md r3). 'bf16x3' keeps both streams f32.
 """
 from __future__ import annotations
 
@@ -296,7 +309,9 @@ def _make_kernel(Ng, G, B, npad, T, tc, gram):
             jgg[:, :] = jnp.zeros_like(jgg)
             m0s[:, :] = jnp.zeros_like(m0s)
 
-        om = om_ref[:]                                   # (tc, npad)
+        om_raw = om_ref[:]                               # (tc, npad)
+        om32 = om_raw.astype(jnp.float32)
+        u_sr = uout_ref.dtype == jnp.bfloat16            # 'sr' u stream
 
         # ---- apply group g-1's dW to this chunk (scatter); dw == 0 at
         # g == 0, so this is the identity there and uout is always written.
@@ -304,8 +319,8 @@ def _make_kernel(Ng, G, B, npad, T, tc, gram):
         if T % tc != 0:
             colp = lax.broadcasted_iota(jnp.int32, xp.shape, 1) + t * tc
             xp = jnp.where(colp < T, xp, 0.0)
-        u_new = u_ref[:] - om * _mm3_t(xp, dw[:, :])
-        uout_ref[:] = u_new
+        u_new = u_ref[:].astype(jnp.float32) - om32 * _mm3_t(xp, dw[:, :])
+        uout_ref[:] = _sr16(u_new) if u_sr else u_new
 
         # ---- accumulate M0 / Jgg for group g (skip on the epilogue) -----
         @pl.when(g < Ng)
@@ -326,16 +341,16 @@ def _make_kernel(Ng, G, B, npad, T, tc, gram):
                         (xI[:, None, :] * xJ[None, :, :]).reshape(B * B, tc))
             Z = jnp.concatenate(pieces, axis=0)
             if gram == "bf16":
-                jgg[:, :] += _mm(Z.astype(jnp.bfloat16),
-                                 om.astype(jnp.bfloat16))
+                # om_raw is already the bf16 stream (see module docstring)
+                jgg[:, :] += _mm(Z.astype(jnp.bfloat16), om_raw)
             elif gram == "sr":
-                jgg[:, :] += _mm(_sr16(Z), _sr16(om))
+                jgg[:, :] += _mm(_sr16(Z), om_raw)
             else:
-                jgg[:, :] += _mm3(Z, om)
+                jgg[:, :] += _mm3(Z, om32)
 
             @pl.when(g == 0)
             def _():
-                sumom_ref[0, :] += jnp.sum(om, axis=0)
+                sumom_ref[0, :] += jnp.sum(om32, axis=0)
 
     return kernel
 
@@ -382,7 +397,18 @@ def resample_spike_slab_fused(key, Xt, omega, kappa, psi, w_nb, hyp_mu,
     pad_t = n_chunks * tc - T
     pad_n = npad - N
 
-    u0 = kappa - omega * psi
+    # Stream formats (module docstring): omega bf16 for the speed modes —
+    # the RTN cast of a fresh continuous draw is zero-mean; all downstream
+    # algebra (u0 here, the in-kernel scatter, sum_om) uses the SAME
+    # rounded value, so the residual recursion stays self-consistent.
+    # (A bf16 u stream with SR writes was A/B-tested and is NET-NEGATIVE:
+    # the kernel is pipeline-bound, so halving u's bytes saved ~0.5 ms
+    # while the SR write ops and the psi recompute it forces cost ~1.9 —
+    # BASELINE.md r3. u stays f32; the kernels still handle a bf16 u
+    # generically by dtype if that trade ever flips on other hardware.)
+    if gram in ("bf16", "sr"):
+        omega = omega.astype(jnp.bfloat16)
+    u0 = kappa - omega.astype(jnp.float32) * psi
     u0 = jnp.pad(u0, ((0, pad_t), (0, pad_n)))
     om = jnp.pad(omega, ((0, pad_t), (0, pad_n)))
     w0 = jnp.pad(w_nb, ((0, 0), (0, pad_n)))
@@ -440,7 +466,7 @@ def resample_spike_slab_fused(key, Xt, omega, kappa, psi, w_nb, hyp_mu,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_chunks * tc, npad), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks * tc, npad), u0.dtype),
             jax.ShapeDtypeStruct((N_pre * B, npad), jnp.float32),
             jax.ShapeDtypeStruct((Ng * G8, npad), jnp.float32),
             jax.ShapeDtypeStruct((8, npad), jnp.float32),
@@ -494,13 +520,18 @@ def _make_group_pass_kernel(T, tc, gram):
             m0_ref[:] = jnp.zeros_like(m0_ref)
             jgg_ref[:] = jnp.zeros_like(jgg_ref)
 
-        om = om_ref[:]                                   # (tc, npad)
+        om_raw = om_ref[:]                               # (tc, npad)
+        om32 = om_raw.astype(jnp.float32)
+        om16 = (om_raw if om_raw.dtype == jnp.bfloat16
+                else om_raw.astype(jnp.bfloat16))
+        u_sr = uout_ref.dtype == jnp.bfloat16            # 'sr' u stream
         xp = xp_ref[:]                                   # (GB, tc)
         if T % tc != 0:
             colp = lax.broadcasted_iota(jnp.int32, xp.shape, 1) + t * tc
             xp = jnp.where(colp < T, xp, 0.0)
-        u_new = u_ref[:] - om * _mm3_t(xp, dw_ref[:])    # scatter prev dW
-        uout_ref[:] = u_new
+        u_new = (u_ref[:].astype(jnp.float32)
+                 - om32 * _mm3_t(xp, dw_ref[:]))         # scatter prev dW
+        uout_ref[:] = _sr16(u_new) if u_sr else u_new
         xg = xg_ref[:]
         if T % tc != 0:
             col = lax.broadcasted_iota(jnp.int32, xg.shape, 1) + t * tc
@@ -509,12 +540,11 @@ def _make_group_pass_kernel(T, tc, gram):
         GB = xg.shape[0]
         Z = (xg[:, None, :] * xg[None, :, :]).reshape(GB * GB, tc)
         if gram == "bf16":
-            jgg_ref[:] += _mm(Z.astype(jnp.bfloat16),
-                              om.astype(jnp.bfloat16))
+            jgg_ref[:] += _mm(Z.astype(jnp.bfloat16), om16)
         elif gram == "sr":
-            jgg_ref[:] += _mm(_sr16(Z), _sr16(om))
+            jgg_ref[:] += _mm(_sr16(Z), om16)
         else:
-            jgg_ref[:] += _mm3(Z, om)
+            jgg_ref[:] += _mm3(Z, om32)
 
     return kernel
 
@@ -533,11 +563,15 @@ def ss_group_pass_pallas(Xp, Xg, omega_pad, u_pad, dW_pad, T: int,
       Xp, Xg: (GB, T) previous / current group design rows (NOT padded;
         partial edge chunk masked in-kernel like the monolithic kernel).
       omega_pad, u_pad: (Tpad, npad) zero-padded to the chunk boundary and
-        the 128-lane boundary.
+        the 128-lane boundary. For the speed modes callers SHOULD pass
+        omega_pad in bf16 (and, for gram='sr', u_pad in bf16) — the
+        kernel is stream-bound, and it upcasts in VMEM (module
+        docstring); f32 inputs are accepted and keep full-width streams.
       dW_pad: (GB, npad).
       gram: Gram precision mode — 'bf16' | 'sr' | 'bf16x3' (see module
         docstring). 'sr' requires `seed`, a (2,) int32 PRNG seed (e.g.
-        ``jax.random.key_data(key)[:2]``) for the in-kernel rounding bits.
+        ``jax.random.key_data(key)[:2]``) for the in-kernel rounding bits
+        (shared by the Gram SR and the SR u-writes).
     Returns (u_new (Tpad, npad), M0 (GB, npad), Jgg (GB*GB, npad)).
     u_pad is aliased into u_new; every block is visited exactly once, so the
     monolithic kernel's revisit hazard cannot arise here.
@@ -577,7 +611,7 @@ def ss_group_pass_pallas(Xp, Xg, omega_pad, u_pad, dW_pad, T: int,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tpad, npad), jnp.float32),
+            jax.ShapeDtypeStruct((Tpad, npad), u_pad.dtype),
             jax.ShapeDtypeStruct((GB, npad), jnp.float32),
             jax.ShapeDtypeStruct((GB * GB, npad), jnp.float32),
         ],

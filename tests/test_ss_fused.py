@@ -40,27 +40,40 @@ def test_group_pass_kernel_matches_xla(gram):
     om = jnp.asarray(rng.rand(T, N) + 0.1, jnp.float32)
     u = jnp.asarray(rng.randn(T, N), jnp.float32)
     dW = jnp.asarray(rng.randn(GB, N) * 0.1, jnp.float32)
+    # Stream formats per mode (ss_pallas module docstring): omega bf16 for
+    # the speed modes; u stays f32 in the library (the bf16-u A/B was
+    # net-negative) but the kernel handles it generically by dtype — the
+    # 'sr' case exercises that path to keep the capability covered. The
+    # XLA reference below consumes the SAME rounded inputs, so tolerances
+    # only cover the in-kernel arithmetic + the SR output write.
+    if gram in ("bf16", "sr"):
+        om = om.astype(jnp.bfloat16)
+    u_in = u.astype(jnp.bfloat16) if gram == "sr" else u
     om_p = jnp.pad(om, ((0, pad_t), (0, npad - N)))
-    u_p = jnp.pad(u, ((0, pad_t), (0, npad - N)))
+    u_p = jnp.pad(u_in, ((0, pad_t), (0, npad - N)))
     dW_p = jnp.pad(dW, ((0, 0), (0, npad - N)))
     u_new, M0, Jgg = ss_group_pass_pallas(
         Xp, Xg, om_p, u_p, dW_p, T, t_chunk=512, gram=gram,
         seed=jnp.asarray([11, 7], jnp.int32))
-    u_new = np.asarray(u_new)[:T, :N]
+    u_new = np.asarray(u_new, np.float32)[:T, :N]
     M0 = np.asarray(M0)[:, :N]
     Jgg = np.asarray(Jgg)[:, :N]
 
-    u_ref = np.asarray(u) - np.asarray(om) * (np.asarray(Xp).T @ np.asarray(dW))
+    om_np = np.asarray(om, np.float32)
+    u_np = np.asarray(u_in, np.float32)
+    u_ref = u_np - om_np * (np.asarray(Xp).T @ np.asarray(dW))
     M0_ref = np.asarray(Xg) @ u_ref
     Z = (np.asarray(Xg)[:, None, :] * np.asarray(Xg)[None, :, :]
          ).reshape(GB * GB, T)
-    Jgg_ref = Z @ np.asarray(om)
+    Jgg_ref = Z @ om_np
 
     def rel(a, b):
         return np.max(np.abs(a - b)) / np.max(np.abs(b))
 
-    assert rel(u_new, u_ref) < 1e-4          # bf16x3 scatter
-    assert rel(M0, M0_ref) < 1e-4            # bf16x3 gather
+    # 'sr' writes u back through stochastic rounding: error up to one FULL
+    # bf16 ulp (2^-7 relative, vs RTN's half-ulp) on some element.
+    assert rel(u_new, u_ref) < (2 ** -7 * 1.3 if gram == "sr" else 1e-4)
+    assert rel(M0, M0_ref) < 1e-4            # bf16x3 gather (f32 u in VMEM)
     # 'sr' noise is zero-mean with std ~ one bf16 ulp / sqrt(T_eff); this
     # rel() is a max over ~6k entries, so bound ~5 sigma of the measured
     # noise scale (typ. 5e-4 here) — still well under truncated-bf16's bias.
@@ -178,7 +191,9 @@ def test_fused_matches_staged_distribution(precision, T):
         wf2 = wf2 + wf * wf
         wx2 = wx2 + wx * wx
 
-    # invariant: u is the exact residual of the NEW weights
+    # invariant: u is the residual of the NEW weights, exact up to the
+    # bf16 omega stream rounding in the speed modes (the kernel scatters
+    # with om16 while this identity divides by the f32 omega).
     u1, w1 = uf0
     psi_new = (np.asarray(ka) - u1) / np.asarray(om)
     psi_direct = np.asarray(d.Xf) @ w1
