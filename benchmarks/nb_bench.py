@@ -83,10 +83,12 @@ def main():
 
     high = measure("high")
     fast = measure("default")
+    sr = measure("sr")
     print(json.dumps({
         "metric": "nb_flagship_sweeps_per_sec",
         "value": round(high, 2), "unit": "sweeps/s",
         "value_fast": round(fast, 2),
+        "value_sr": round(sr, 2),
         "pg_gamma_kernel_ms": round(pg_ms, 2),
         "shapes": {"N": n, "T": t, "B": B},
     }))
