@@ -1,0 +1,218 @@
+"""Lane-stacked multi-chain Gibbs: C independent chains as ONE wide sweep.
+
+The GLM's Gibbs conditionals factorize over POSTSYN neurons given the
+design — every (T, N) auxiliary array, every (P, N) weight column, and
+the whole collapsed spike-and-slab update are lane-parallel over the
+postsyn axis (that is what makes the fused kernels work). C independent
+chains of the same N-neuron model are therefore EXACTLY an N_pre-presyn,
+C*N-postsyn model sharing one design: stack each chain's postsyn columns
+side by side and run the ordinary sweep machinery once at C*N lanes.
+
+Why this is the TPU-native ensemble (vs the reference's one-process-per-
+chain, or a sequential loop over chains):
+  - The design stream, its Gram products Z = x_i x_j, and every presyn
+    block are computed ONCE and shared by all C chains — the marginal
+    cost of a chain is only its omega/u lanes.
+  - Small models leave most of the 128-wide vector lanes idle (N=27 fills
+    21% of one lane tile); stacking chains fills them. Throughput is
+    aggregate chain-sweeps/sec, the quantity that matters for R-hat /
+    ESS workflows (utils/metrics.py), which need >= 4 chains anyway.
+  - No new kernels: ops/ss_pallas.py and the PG kernels are already
+    lane-parallel; only the network prior and observation aux couple
+    lanes WITHIN a chain, and those resample per chain under jax.vmap.
+
+Chain independence: postsyn draws are lane-local in every path (in-kernel
+hardware PRNG per lane; XLA draws shaped over lanes), network/aux updates
+get split keys per chain, and the z-protocol statistical tests compare
+stacked marginals against single-chain truth (tests/test_ensemble.py).
+
+Reference analog: none — pyglm leaves multi-chain MCMC entirely to the
+user (SURVEY.md §3.5); this is a capability the CPU architecture could
+not express.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyglm_tpu.models.sweep import GLMState, init_state_from_prior
+from pyglm_tpu.models.weights import (EdgeHypers, _PRECISIONS, pack_weights,
+                                      resample_dense,
+                                      resample_spike_slab_tspace,
+                                      sufficient_stats, unpack_weights)
+
+
+def _to_lanes(x):
+    """(C, R, N, ...) -> (R, C*N, ...): chain-major postsyn lanes."""
+    perm = (1, 0, 2) + tuple(range(3, x.ndim))
+    return x.transpose(perm).reshape(
+        (x.shape[1], x.shape[0] * x.shape[2]) + x.shape[3:])
+
+
+def _from_lanes(x, C):
+    """(R, C*N, ...) -> (C, R, N, ...)."""
+    R, CN = x.shape[:2]
+    y = x.reshape((R, C, CN // C) + x.shape[2:])
+    return y.transpose((1, 0, 2) + tuple(range(3, y.ndim)))
+
+
+def stack_states(states):
+    """List of C same-config GLMState -> one pytree with a chain axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *states)
+
+
+def unstack_states(st, C):
+    return [jax.tree.map(lambda x: x[c], st) for c in range(C)]
+
+
+def make_stacked_sweep(obs, network, N: int, B: int, C: int,
+                       spike_slab: bool, t_chunk: int = 512,
+                       precision: str = "highest"):
+    """Build the C-chain lane-stacked sweep: (key, stacked_state, datas) ->
+    (stacked_state, diag with per-chain (C,) entries).
+
+    The Gibbs move order and conditionals are identical to
+    models/sweep.py make_gibbs_sweep — per lane, per chain. Not supported
+    here: the Gaussian cached-Gram fast path and sharded meshes (callers
+    fall back to sequential chains).
+    """
+    prec = _PRECISIONS[precision]
+
+    def sweep(key, st: GLMState, datas: tuple):
+        k_pg, k_w, k_aux, k_net = jax.random.split(key, 4)
+        # ---- pack C chains onto postsyn lanes ---------------------------
+        w_lane = _to_lanes(jax.vmap(pack_weights)(st.A, st.W, st.b))
+        hyp_c = jax.vmap(network.edge_hypers)(st.net)
+        hyp = EdgeHypers(
+            mu=_to_lanes(hyp_c.mu), Lam=_to_lanes(hyp_c.Lam),
+            logit_rho=_to_lanes(hyp_c.logit_rho),
+            mu_b=hyp_c.mu_b.reshape(-1), lam_b=hyp_c.lam_b.reshape(-1))
+        aux_lane = jax.tree.map(
+            lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]),
+            st.aux)
+
+        Y_cat = jnp.concatenate([d.Y for d in datas], axis=0)
+        Y_lane = jnp.tile(Y_cat, (1, C))
+        Xf_cat = jnp.concatenate([d.Xf for d in datas], axis=0)
+        T = Y_cat.shape[0]
+
+        psi = jnp.dot(Xf_cat, w_lane, preferred_element_type=jnp.float32,
+                      precision=prec)
+        omega, kappa = obs.omega_kappa(k_pg, Y_lane, psi, aux_lane)
+
+        if spike_slab:
+            Xt_cat = (jnp.concatenate([d.Xt for d in datas], axis=1)
+                      if all(d.Xt is not None for d in datas) else None)
+            A_lane, w_lane, u, _ = resample_spike_slab_tspace(
+                k_w, Xf_cat, omega, kappa, w_lane, hyp, B,
+                t_chunk=t_chunk, precision=precision, psi=psi, Xt=Xt_cat)
+            psi_cat = (kappa - u) / omega
+        else:
+            J, h = sufficient_stats(Xf_cat, omega, kappa, t_chunk=t_chunk,
+                                    precision=precision)
+            w_lane = resample_dense(k_w, J, h, hyp, B)
+            A_lane = jnp.ones((N, C * N), jnp.float32)
+            psi_cat = jnp.dot(Xf_cat, w_lane,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+
+        # ---- unstack to per-chain structure -----------------------------
+        w_c = _from_lanes(w_lane, C)                       # (C, P, N)
+        W, b = jax.vmap(unpack_weights, in_axes=(0, None, None))(w_c, N, B)
+        A = _from_lanes(A_lane, C)                         # (C, N, N)
+
+        aux_lane = obs.resample_aux(k_aux, aux_lane, Y_lane, psi_cat)
+        aux = jax.tree.map(lambda xl, xs: xl.reshape(xs.shape),
+                           aux_lane, st.aux)
+        net = jax.vmap(network.resample)(
+            jax.random.split(k_net, C), st.net, A, W)
+
+        ll_el = obs.log_likelihood(Y_lane, psi_cat, aux_lane)
+        lls = ll_el.reshape(T, C, N).sum(axis=(0, 2))
+        diag = {"log_likelihood": lls, "n_edges": A.sum(axis=(1, 2))}
+        if hasattr(net, "hmc_accept"):
+            diag["hmc_accept"] = net.hmc_accept
+        return GLMState(A, W, b, aux, net), diag
+
+    return sweep
+
+
+def run_stacked_chains(model, n_chains: int, n_samples: int,
+                       n_burnin: int = 0, thin: int = 1, seeds=None,
+                       max_sweeps_per_launch: int = 250):
+    """Run C prior-initialized chains with the lane-stacked sweep.
+
+    Returns a list of C per-chain dicts {'A' (S,N,N), 'W' (S,N,N,B),
+    'bias' (S,N), 'lls' (S,)} — the same contract as model.fit_compiled,
+    so NonlinearAutoregressiveModel.fit_ensemble can assemble R-hat
+    identically for both execution paths. Chain c is seeded exactly like
+    the sequential path (fold_in(key(seed_c), 0x5EED) then a prior init),
+    so the two paths draw from the same initialization distribution.
+    """
+    assert model.datas, "call add_data() or generate(keep=True) first"
+    C = n_chains
+    if seeds is None:
+        seeds = range(1, C + 1)
+    seeds = list(seeds)
+    assert len(seeds) == C
+
+    states, keys = [], []
+    for sd in seeds:
+        kc = jax.random.fold_in(jax.random.key(int(sd)), 0x5EED)
+        kc, k_init = jax.random.split(kc)
+        states.append(init_state_from_prior(
+            k_init, model.observation, model.network, model.N, model.B,
+            model.spike_and_slab))
+        keys.append(kc)
+    st = stack_states(states)
+    key = jax.random.fold_in(keys[0], 0xC8A1)   # one driver stream
+
+    sweep = make_stacked_sweep(
+        model.observation, model.network, model.N, model.B, C,
+        model.spike_and_slab, t_chunk=model._t_chunk,
+        precision=model._precision)
+    datas = tuple(model.datas)
+    cap = max(1, max_sweeps_per_launch)
+    if thin > cap:
+        raise ValueError(f"thin={thin} exceeds max_sweeps_per_launch={cap}")
+
+    def burn_seg(key, st, datas, length):
+        def step(s, k):
+            s, _ = sweep(k, s, datas)
+            return s, None
+        return jax.lax.scan(step, st, jax.random.split(key, length))[0]
+
+    def sample_seg(key, st, datas, length):
+        def one(s, k):
+            ks = jax.random.split(k, thin)
+            s, diags = jax.lax.scan(
+                lambda ss, kk: sweep(kk, ss, datas), s, ks)
+            # inner-scan lls: (thin, C) -> keep the last sweep's (C,)
+            return s, (s.A, s.W, s.b, diags["log_likelihood"][-1])
+        return jax.lax.scan(one, st, jax.random.split(key, length))
+
+    burn_j = jax.jit(burn_seg, static_argnames=("length",))
+    sample_j = jax.jit(sample_seg, static_argnames=("length",))
+
+    left = n_burnin
+    while left > 0:
+        c = min(left, cap)
+        key, k = jax.random.split(key)
+        st = burn_j(k, st, datas, length=c)
+        float(jnp.sum(st.b))            # host sync (axon: block is a no-op)
+        left -= c
+
+    out = {"A": [], "W": [], "bias": [], "lls": []}
+    left = n_samples
+    while left > 0:
+        c = min(left, max(1, cap // max(1, thin)))
+        key, k = jax.random.split(key)
+        st, (A, W, b, lls) = sample_j(k, st, datas, length=c)
+        out["A"].append(np.asarray(A))          # (S_seg, C, N, N)
+        out["W"].append(np.asarray(W))
+        out["bias"].append(np.asarray(b))
+        out["lls"].append(np.asarray(lls))      # (S_seg, C)
+        left -= c
+    stacked = {k: np.concatenate(v, axis=0) for k, v in out.items()}
+    return [{k: stacked[k][:, c] for k in stacked} for c in range(C)]

@@ -364,7 +364,7 @@ class NonlinearAutoregressiveModel:
 
     def fit_ensemble(self, n_chains: int = 4, n_samples: int = 100,
                      n_burnin: int = 0, thin: int = 1, seeds=None,
-                     compiled: bool = True):
+                     compiled: bool = True, stacked: bool | str = "auto"):
         """Run ``n_chains`` independent Gibbs chains from fresh prior
         initializations on the registered data, with split-R̂ convergence
         diagnostics over the pooled traces.
@@ -372,8 +372,16 @@ class NonlinearAutoregressiveModel:
         The reference leaves convergence assessment entirely to the
         user-owned MCMC loop (SURVEY.md §3.5); this is the canonical
         multi-chain check — chains started overdispersed (from the prior)
-        must agree on every marginal. All chains reuse this model's
-        compiled sweep (zero recompiles after the first chain).
+        must agree on every marginal.
+
+        Execution: ``stacked`` (default "auto") runs all C chains as ONE
+        lane-stacked sweep at C*N postsyn lanes (models/ensemble.py) —
+        the design stream and its Gram products are shared across chains,
+        so aggregate chain-sweeps/sec is several times the sequential
+        loop at small N. "auto" uses the stacked path whenever the model
+        is unsharded; ``stacked=False`` forces the sequential loop (each
+        chain on this model's compiled sweep, zero recompiles after the
+        first chain).
 
         Returns a dict with stacked per-chain samples 'A' (C,S,N,N),
         'W' (C,S,N,N,B), 'bias' (C,S,N), 'lls' (C,S), plus
@@ -386,21 +394,29 @@ class NonlinearAutoregressiveModel:
 
         assert self.datas, "call add_data() or generate(keep=True) first"
         assert n_chains >= 2 and n_samples >= 4, (n_chains, n_samples)
+        if stacked == "auto":
+            stacked = self._mesh is None and compiled
         state0, key0 = self.state, self._key
         if seeds is None:
             seeds = range(1, n_chains + 1)
         runs = []
         try:
-            for sd in seeds:
-                # distinct, reproducible key stream per chain
-                self._key = jax.random.fold_in(
-                    jax.random.key(int(sd)), 0x5EED)
-                self.state = init_state_from_prior(
-                    self._next_key(), self.observation, self.network,
-                    self.N, self.B, self.spike_and_slab)
-                fit = self.fit_compiled if compiled else self.fit
-                runs.append(fit(n_samples=n_samples, n_burnin=n_burnin,
-                                thin=thin))
+            if stacked:
+                from pyglm_tpu.models.ensemble import run_stacked_chains
+                runs = run_stacked_chains(
+                    self, n_chains, n_samples=n_samples,
+                    n_burnin=n_burnin, thin=thin, seeds=seeds)
+            else:
+                for sd in seeds:
+                    # distinct, reproducible key stream per chain
+                    self._key = jax.random.fold_in(
+                        jax.random.key(int(sd)), 0x5EED)
+                    self.state = init_state_from_prior(
+                        self._next_key(), self.observation, self.network,
+                        self.N, self.B, self.spike_and_slab)
+                    fit = self.fit_compiled if compiled else self.fit
+                    runs.append(fit(n_samples=n_samples, n_burnin=n_burnin,
+                                    thin=thin))
         finally:
             self.state, self._key = state0, key0
         out = {k: np.stack([r[k] for r in runs])
