@@ -155,7 +155,8 @@ class NonlinearAutoregressiveModel:
         # transposing 320 MB per sweep would cost ~1.5 ms (flagship).
         Xt = jnp.asarray(Xf.T)
         self.datas.append(GLMData(Y=Y, Xf=Xf, Xt=Xt, Gg0=Gg0, Gfull=Gfull,
-                                  XtY=XtY))
+                                  XtY=XtY,
+                                  llc=self.observation.ll_cache(Y)))
 
     def generate(self, T: int, keep: bool = True):
         """Sample a (T, N) spike train from the current model parameters."""

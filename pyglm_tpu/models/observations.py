@@ -29,8 +29,33 @@ from pyglm_tpu.ops.linalg import crt_sample, sample_inverse_gamma
 from pyglm_tpu.utils.utils import logistic, softplus
 
 
+class _FamilyBase:
+    """Shared hooks every observation family inherits.
+
+    ``ll_cache`` / ``log_likelihood_sum`` exist so the per-sweep total
+    log-likelihood (a diagnostic computed inside the hot jitted sweep,
+    models/sweep.py) can precompute the psi-INDEPENDENT part of the
+    likelihood once at data-registration time instead of re-evaluating it
+    over all T*N elements every sweep — e.g. the NB normalizer's gammaln
+    terms depend on the data only through per-count tallies, so 20M
+    gammaln evals/sweep collapse to (max_y+1)*N. Families without such
+    structure return None and take the elementwise path.
+    """
+
+    def ll_cache(self, Y):
+        """Per-dataset psi-independent summary for log_likelihood_sum
+        (None = no cacheable structure). Called eagerly at add_data."""
+        return None
+
+    def log_likelihood_sum(self, Y, psi, aux, cache=None):
+        """Total log-likelihood over a dataset; `cache` is the (possibly
+        dataset-summed) ll_cache output. Must equal
+        sum(log_likelihood(Y, psi, aux)) up to fp summation order."""
+        return jnp.sum(self.log_likelihood(Y, psi, aux))
+
+
 @dataclass(frozen=True)
-class Bernoulli:
+class Bernoulli(_FamilyBase):
     """y ~ Bern(logistic(psi)); kappa = y - 1/2, b_pg = 1 (exact Devroye).
 
     Reference: pypolyagamma/distributions.py (BernoulliRegression),
@@ -61,7 +86,7 @@ class Bernoulli:
 
 
 @dataclass(frozen=True)
-class Binomial:
+class Binomial(_FamilyBase):
     """y ~ Binom(n_trials, logistic(psi)); kappa = y - n/2, b_pg = n."""
     n_trials: int = 1
     name: str = "binomial"
@@ -81,6 +106,20 @@ class Binomial:
         logC = gammaln(n + 1.0) - gammaln(Y + 1.0) - gammaln(n - Y + 1.0)
         return logC + Y * psi - n * softplus(psi)
 
+    def ll_cache(self, Y):
+        # The binomial normalizer log C(n, y) is state-independent: its
+        # dataset total is one scalar, so the per-sweep total LL needs no
+        # T*N gammaln pass at all.
+        n = float(self.n_trials)
+        logC = gammaln(n + 1.0) - gammaln(Y + 1.0) - gammaln(n - Y + 1.0)
+        return {"logC_sum": jnp.sum(logC)}
+
+    def log_likelihood_sum(self, Y, psi, aux, cache=None):
+        if cache is None:
+            return jnp.sum(self.log_likelihood(Y, psi, aux))
+        n = float(self.n_trials)
+        return cache["logC_sum"] + jnp.sum(Y * psi - n * softplus(psi))
+
     def sample(self, key, psi, aux):
         return jax.random.binomial(
             key, float(self.n_trials), logistic(psi)).astype(jnp.float32)
@@ -93,7 +132,7 @@ class Binomial:
 
 
 @dataclass(frozen=True)
-class NegativeBinomial:
+class NegativeBinomial(_FamilyBase):
     """y ~ NB(r, p = logistic(psi)): mean r p/(1-p); kappa=(y-r)/2, b_pg=y+r.
 
     Dispersion r (per neuron) is resampled by the Zhou–Carin CRT + Gamma
@@ -124,6 +163,31 @@ class NegativeBinomial:
         logC = gammaln(Y + r) - gammaln(r) - gammaln(Y + 1.0)
         return logC + Y * psi - (Y + r) * softplus(psi)
 
+    def ll_cache(self, Y):
+        # sum_t gammaln(y_tn + r_n) depends on the data only through the
+        # per-neuron count tallies #{t : y_tn = k}: precompute the
+        # (max_y+1, N) table once so the per-sweep total LL evaluates
+        # (max_y+1)*N gammalns instead of T*N (~2.3 ms/sweep at the NB
+        # flagship shapes, where gammaln at 20M elements dominated the LL
+        # stage — see BASELINE.md r3 NB ledger).
+        import numpy as np
+        Yn = np.asarray(Y).astype(np.int64)
+        K = self.max_y + 1
+        counts = np.stack(
+            [np.bincount(Yn[:, j], minlength=K)[:K]
+             for j in range(Yn.shape[1])], axis=1)
+        return {"counts": jnp.asarray(counts, jnp.float32)}
+
+    def log_likelihood_sum(self, Y, psi, aux, cache=None):
+        if cache is None:
+            return jnp.sum(self.log_likelihood(Y, psi, aux))
+        r = aux["r"]                                   # (N,)
+        counts = cache["counts"]                       # (max_y+1, N)
+        k = jnp.arange(counts.shape[0], dtype=jnp.float32)[:, None]
+        logC = gammaln(k + r[None, :]) - gammaln(r)[None, :] - gammaln(k + 1.0)
+        const = jnp.sum(counts * logC)
+        return const + jnp.sum(Y * psi - (Y + r[None, :]) * softplus(psi))
+
     def sample(self, key, psi, aux):
         k1, k2 = jax.random.split(key)
         r = aux["r"][None, :]
@@ -151,7 +215,7 @@ class NegativeBinomial:
 
 
 @dataclass(frozen=True)
-class Gaussian:
+class Gaussian(_FamilyBase):
     """y ~ N(psi, eta_n): identity link, conjugate noise variance.
 
     No PG augmentation — the auxiliary weights are deterministic

@@ -33,6 +33,10 @@ class GLMData(NamedTuple):
     Gg0: object = None   # (Ng, 1, GB, GB) unweighted group Gram blocks
     Gfull: object = None  # (P, P) unweighted full Gram
     XtY: object = None    # (P, N) X' Y
+    # psi-independent log-likelihood summary (observation-family-specific,
+    # see observations._FamilyBase.ll_cache): lets the per-sweep LL
+    # diagnostic skip the T*N normalizer pass (NB/Binomial gammaln terms).
+    llc: object = None
 
 
 class GLMState(NamedTuple):
@@ -124,7 +128,12 @@ def make_gibbs_sweep(obs, network, N: int, B: int, spike_slab: bool,
         aux = obs.resample_aux(k_aux, state.aux, Y_cat, psi_cat)
         net = network.resample(k_net, state.net, A, W)
 
-        ll = jnp.sum(obs.log_likelihood(Y_cat, psi_cat, aux))
+        # Dataset ll caches are additive summaries (counts / scalar sums),
+        # so concatenation over datasets = summing the caches.
+        caches = [d.llc for d in datas]
+        llc_tot = (jax.tree.map(lambda *xs: sum(xs), *caches)
+                   if caches and all(c is not None for c in caches) else None)
+        ll = obs.log_likelihood_sum(Y_cat, psi_cat, aux, llc_tot)
         diag = {"log_likelihood": ll, "n_edges": jnp.sum(A)}
         if hasattr(net, "hmc_accept"):
             diag["hmc_accept"] = net.hmc_accept

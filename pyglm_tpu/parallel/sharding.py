@@ -76,7 +76,9 @@ def glm_shardings(mesh: Mesh, state: GLMState, datas: tuple):
                 Xt=None if d.Xt is None else ns(None, "time"),
                 Gg0=None if d.Gg0 is None else rep,
                 Gfull=None if d.Gfull is None else rep,
-                XtY=None if d.XtY is None else ns(None, "neuron"))
+                XtY=None if d.XtY is None else ns(None, "neuron"),
+                llc=None if d.llc is None
+                else jax.tree.map(lambda _: rep, d.llc))
         for d in datas)
     return rep, state_sh, data_sh
 

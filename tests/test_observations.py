@@ -98,6 +98,58 @@ def test_gaussian_omega_is_inverse_eta():
     np.testing.assert_allclose(np.asarray(kappa), np.asarray(Y) * 4.0)
 
 
+def test_ll_cache_sum_matches_elementwise():
+    """log_likelihood_sum with the precomputed psi-independent cache must
+    equal the elementwise total (the cached form is an exact regrouping of
+    the same sum — only fp summation order differs)."""
+    rng = np.random.RandomState(7)
+    psi = jnp.asarray(rng.randn(300, 5) * 0.8, jnp.float32)
+
+    nb = NegativeBinomial(r_init=2.3, max_y=32)
+    aux = {"r": jnp.asarray(rng.uniform(0.5, 6.0, 5), jnp.float32)}
+    Y = jnp.asarray(rng.poisson(3.0, (300, 5)).clip(max=32), jnp.float32)
+    cache = nb.ll_cache(Y)
+    assert cache["counts"].shape == (33, 5)
+    np.testing.assert_allclose(np.asarray(cache["counts"]).sum(axis=0), 300)
+    want = float(jnp.sum(nb.log_likelihood(Y, psi, aux)))
+    got = float(nb.log_likelihood_sum(Y, psi, aux, cache))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # no cache -> identical fallback
+    np.testing.assert_allclose(
+        float(nb.log_likelihood_sum(Y, psi, aux)), want, rtol=1e-6)
+
+    bi = Binomial(n_trials=9)
+    Yb = jnp.asarray(rng.binomial(9, 0.3, (300, 5)), jnp.float32)
+    cacheb = bi.ll_cache(Yb)
+    wantb = float(jnp.sum(bi.log_likelihood(Yb, psi, None)))
+    gotb = float(bi.log_likelihood_sum(Yb, psi, None, cacheb))
+    np.testing.assert_allclose(gotb, wantb, rtol=1e-5)
+
+    # families without cacheable structure opt out
+    assert Bernoulli().ll_cache(Y) is None
+    assert Gaussian().ll_cache(Y) is None
+
+
+def test_sweep_ll_diag_uses_cache_consistently():
+    """The sweep's log_likelihood diagnostic must agree between a dataset
+    registered through add_data (cache present) and a bare GLMData (cache
+    absent), at the same state and key."""
+    import pyglm_tpu as pt
+    from pyglm_tpu.models.sweep import GLMData
+
+    m = pt.SparseNegativeBinomialGLM(4, B=2, L=5, seed=0,
+                                     obs_kwargs=dict(max_y=16))
+    Y = np.minimum(np.random.RandomState(0).poisson(1.0, (400, 4)), 15)
+    m.add_data(Y)
+    assert m.datas[0].llc is not None
+    key = jax.random.key(123)
+    _, d_cached = m._sweep(key, m.state, tuple(m.datas))
+    bare = (GLMData(Y=m.datas[0].Y, Xf=m.datas[0].Xf, Xt=m.datas[0].Xt),)
+    _, d_bare = m._sweep(key, m.state, bare)
+    np.testing.assert_allclose(float(d_cached["log_likelihood"]),
+                               float(d_bare["log_likelihood"]), rtol=1e-5)
+
+
 def test_make_observation_dispatch():
     assert make_observation("bernoulli").name == "bernoulli"
     assert make_observation("nb").name == "negative_binomial"
