@@ -391,17 +391,21 @@ def _pg_gamma_draw_small(key, b, c):
 
     S = b.shape[0]
     rows = -(-S // _LANES)
-    rows_p = -(-rows // 8) * 8
+    # Tile rows so the kernel fits scoped VMEM at ANY straggler count:
+    # the compaction finisher calls this at F_cap ~ M/64 elements, far
+    # beyond the single-block sizes the segment finisher used.
+    blk = min(_BLK, -(-rows // 8) * 8)
+    rows_p = -(-rows // blk) * blk
     pad = rows_p * _LANES - S
     b2 = jnp.pad(b, (0, pad), constant_values=1.0).reshape(rows_p, _LANES)
     c2 = jnp.pad(c, (0, pad)).reshape(rows_p, _LANES)
     alpha, beta = _tail_alpha_beta(b2, c2)
     seed = jax.random.key_data(key).astype(jnp.uint32)[:2].astype(jnp.int32)
-    spec = pl.BlockSpec((rows_p, _LANES), lambda i: (0, 0),
+    spec = pl.BlockSpec((blk, _LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     out, _ = pl.pallas_call(
         partial(_pg_gamma_kernel, rounds=_GAMMA_SMALL_ROUNDS),
-        grid=(1,),
+        grid=(rows_p // blk,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 4,
         out_specs=[spec, spec],
         out_shape=[
@@ -424,7 +428,16 @@ _GAMMA_K = 8        # series terms drawn in-kernel; KS-indistinguishable
                     # absorbs terms k>8 (tail variance share 6.5e-5; its
                     # 2-moment gamma match leaves a 1.8x third-cumulant
                     # mismatch on that share, invisible at n=200k KS)
-_GAMMA_R = 3        # Marsaglia-Tsang rejection rounds per draw
+_GAMMA_R = 2        # Marsaglia-Tsang rounds per series pair-draw. With the
+                    # shared proposal stream inside each pair (see
+                    # series_pair) a pair fails only when fewer than 2 of
+                    # its 2*_GAMMA_R proposals accept (~4p^3 at per-proposal
+                    # rejection p ~ 0.01-0.04), so the element straggler
+                    # rate stays ~2e-5 — the same few-hundred-per-20M regime
+                    # _GAMMA_R=3 unshared gave — while the main pass drops
+                    # 27.5 -> ~12 ms/20M (the 3rd round's transcendentals
+                    # were ~60% of kernel time at near-zero acceptance
+                    # yield). The tail draw runs _GAMMA_R+1 solo rounds.
 
 
 def _pg_gamma_kernel(seed_ref, b_ref, c_ref, alpha_ref, beta_ref,
@@ -465,13 +478,35 @@ def _pg_gamma_kernel(seed_ref, b_ref, c_ref, alpha_ref, beta_ref,
         g = g + acc * (1.0 - ok) * dd * vs
         return g, jnp.maximum(ok, acc)
 
+    def accept_val(x):
+        """One MT accept-reject test at proposal normal x: returns the
+        0/1 acceptance mask and the gamma value d*v it carries."""
+        v0 = 1.0 + cmt * x
+        v = v0 * v0 * v0
+        pos = jnp.where(v0 > 0.0, one, zero)
+        vs = jnp.maximum(v, 1e-30)
+        logu = jnp.log(_uniform(shape))
+        acc = pos * jnp.where(
+            logu < 0.5 * x * x + d - d * vs + d * jnp.log(vs), one, zero)
+        return acc, d * vs
+
     def series_pair(j, carry):
         """TWO consecutive series terms; each round's two proposal normals
         come from ONE Box-Muller radius: (R cos th, R |sin th| S) with an
         independent fair sign S has the same joint law as (R cos th,
         R sin th) — conditional on cos th, the sign of sin th is an
         independent fair coin — so both gammas stay exact while the
-        radius log/sqrt is paid once per round instead of twice."""
+        radius log/sqrt is paid once per round instead of twice.
+
+        The pair's two draws SHARE the proposal stream: both are iid
+        Gamma(bb) with the same shape, so the accepted proposals form one
+        iid gamma stream and the first two accepted values go to gA then
+        gB (the assignment depends only on the acceptance history, never
+        on the values, so gA, gB stay exact iid draws). This drops the
+        pair failure rate from ~2p^2 to ~4p^3 per 2-round budget
+        (p ~ 0.01-0.04 per-proposal rejection), which is what lets
+        _GAMMA_R=2 keep straggler counts inside the segment finisher's
+        cheap regime."""
         s, all_ok = carry
         gA = zero
         okA = zero
@@ -482,8 +517,14 @@ def _pg_gamma_kernel(seed_ref, b_ref, c_ref, alpha_ref, beta_ref,
             cth = jnp.cos(2.0 * _PI * _uniform(shape))
             sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
             sgn = jnp.where(_uniform(shape) < 0.5, -1.0, 1.0)
-            gA, okA = mt_step(rad * cth, gA, okA)
-            gB, okB = mt_step(rad * sth * sgn, gB, okB)
+            for x in (rad * cth, rad * sth * sgn):
+                acc, val = accept_val(x)
+                takeA = acc * (1.0 - okA)
+                gA = gA + takeA * val
+                okA = jnp.maximum(okA, takeA)
+                takeB = acc * (1.0 - takeA) * (1.0 - okB)
+                gB = gB + takeB * val
+                okB = jnp.maximum(okB, takeB)
         # b < 1 boost: Gamma(b) = Gamma(b+1) * U^(1/b)
         boostA = jnp.exp(jnp.log(_uniform(shape)) * inv_b)
         boostB = jnp.exp(jnp.log(_uniform(shape)) * inv_b)
@@ -511,7 +552,10 @@ def _pg_gamma_kernel(seed_ref, b_ref, c_ref, alpha_ref, beta_ref,
     cmt_t = 1.0 / (3.0 * jnp.sqrt(d_t))
     g_t = zero
     ok_t = zero
-    for _ in range(rounds):
+    # The tail draw has its own shape (alpha), so it cannot share the
+    # series pairs' proposal stream — give it one extra round instead to
+    # keep its solo failure rate ~p^3, matching the shared pairs'.
+    for _ in range(rounds + 1):
         x = _normal(shape)
         g_t, ok_t = mt_step(x, g_t, ok_t, d_=d_t, cmt_=cmt_t)
     boost_t = jnp.exp(jnp.log(_uniform(shape)) / al)
@@ -568,16 +612,20 @@ def pg_gamma_series_pallas(key, b, c, K: int = _GAMMA_K):
 
     out = series          # tail already added in-kernel
 
-    # A single main pass leaves ~2e-3 of elements unresolved (one of their
-    # K gamma draws exhausted its _GAMMA_R rounds) — a SECOND full pass
-    # would cost another ~65 ms for <0.3% of the elements, so they are
-    # finished by the compacted extraction with a many-round single-block
-    # gamma kernel (k2 keys the redraws).
+    # The 2-round shared-proposal main pass leaves ~2e-5 of elements
+    # unresolved (one of their K gamma draws exhausted its budget) — a
+    # SECOND full pass would cost another main-kernel launch for a few
+    # hundred elements, so they are finished by the compacted extraction
+    # with a many-round gamma kernel (k2 keys the redraws). NOTE: at this
+    # rate failures land in ~400 distinct segments per 20M draws, so
+    # K_cap=1024 gathers every failing segment in one phase while keeping
+    # the gather at ~1/5 of the array; straggler-rate regressions roll
+    # into extra phases, exactly.
     S = -(-M // _SEG)
     out = _finish_by_extraction(
         k2, (b2d.reshape(S, _SEG), c2d.reshape(S, _SEG)),
         out.reshape(S, _SEG), fail.reshape(S, _SEG),
-        _pg_gamma_draw_small, K_cap=4096, R_cap=12)
+        _pg_gamma_draw_small, K_cap=1024, R_cap=12)
     out = out.reshape(-1)[:total]
     return jnp.where(b.ravel() > 0, out, 0.0).reshape(shape)
 
