@@ -228,6 +228,108 @@ def run_long(args):
         json.dump(out, f, indent=1)
 
 
+def run_hmc_arms(args):
+    """--hmc-arms: trajectory-length reallocation study at a FIXED gradient
+    budget (hmc_iters * hmc_steps = 500 grads/sweep, the r3 default split).
+
+    The r3 ESS analysis says config-5 AUC is bound by tau_int of the
+    position functionals (median 75.5 sweeps at iters=10 x steps=50).
+    With eps pinned by stability (0.15/sqrt(N)), each trajectory travels
+    eps*steps ~ 0.34 — short relative to the sigma_l=1 embedding scale, so
+    successive trajectories random-walk. HMC theory (and ChEES-style
+    tuning) says ESS per gradient is maximized when the trajectory length
+    matches the slowest posterior scale: fewer, longer trajectories may cut
+    tau at identical cost. Arms reallocate the same 500-grad budget; each
+    runs a compiled-scan chain tracing the 64-entry logit-rho panel (tau)
+    and a windowed link AUC."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import pyglm_tpu as pt
+    from pyglm_tpu.utils.metrics import link_auc
+
+    N, T, S = args.N, args.T, args.sweeps
+    true = pt.NonlinearAutoregressiveModel(
+        N, B=4, L=10, observation="bernoulli", network="latent_distance",
+        spike_and_slab=True, seed=5, net_kwargs=dict(dim=2, mu_bias=-3.0))
+    Y = true.generate(T, keep=False)
+    true_A = true.A.copy()
+
+    rng = np.random.RandomState(0)
+    ii = rng.randint(0, N, size=64)
+    jj = rng.randint(0, N, size=64)
+    ii_j = jnp.asarray(ii)
+    jj_j = jnp.asarray(jj)
+
+    arms = [tuple(map(int, a.split("x"))) for a in args.arms.split(",")]
+    seg_len = 200
+    assert S % seg_len == 0, (S, seg_len)
+    window = max(seg_len, (S // 8) // seg_len * seg_len)
+    results = []
+    for iters, steps in arms:
+        model = pt.NonlinearAutoregressiveModel(
+            N, B=4, L=10, observation="bernoulli",
+            network="latent_distance", spike_and_slab=True,
+            seed=args.model_seed,
+            net_kwargs=dict(dim=2, hmc_iters=iters, hmc_steps=steps))
+        model.add_data(Y)
+        sweep = model._sweep
+        datas = tuple(model.datas)
+
+        @partial(jax.jit, static_argnames=("length",))
+        def seg(key, state, ds, length):
+            def step(carry, k):
+                s, acc = carry
+                s, _ = sweep(k, s, ds)
+                lrho = s.net.gamma - jnp.sum(
+                    (s.net.L[ii_j] - s.net.L[jj_j]) ** 2, axis=-1)
+                return (s, acc + s.A), lrho
+            (s, acc), lrhos = jax.lax.scan(
+                step, (state, jnp.zeros_like(state.A)),
+                jax.random.split(key, length))
+            return s, acc, lrhos
+
+        state = model.state
+        lrho_trace = np.zeros((S, 64), np.float32)
+        win_acc = np.zeros_like(true_A)
+        win_n = 0
+        auc_points = []
+        t0 = time.time()
+        for done in range(seg_len, S + 1, seg_len):
+            state, acc, lrhos = seg(
+                model._next_key(), state, datas, length=seg_len)
+            lrho_trace[done - seg_len:done] = np.asarray(lrhos)
+            win_acc += np.asarray(acc)
+            win_n += seg_len
+            if win_n == window:
+                auc_points.append(
+                    [done, float(link_auc(win_acc / win_n, true_A))])
+                win_acc[:] = 0.0
+                win_n = 0
+        el = time.time() - t0
+        half = S // 2
+        taus = np.array([integrated_autocorr_time(lrho_trace[half:, k])
+                         for k in range(64)])
+        res = {
+            "iters": iters, "steps": steps, "grads": iters * steps,
+            "tau_int_median": float(np.median(taus)),
+            "tau_int_p90": float(np.percentile(taus, 90)),
+            "tau_int_max": float(np.max(taus)),
+            "auc_trajectory": auc_points,
+            "final_window_auc": auc_points[-1][1] if auc_points else None,
+            "sweeps_per_sec": round(S / el, 2),
+            "seconds": round(el, 1),
+        }
+        print(json.dumps(res), flush=True)
+        results.append(res)
+
+    with open(args.arms_out, "w") as f:
+        json.dump({"mode": "hmc_arms", "N": N, "T": T, "sweeps": S,
+                   "window": window, "model_seed": args.model_seed,
+                   "arms": results}, f, indent=1)
+
+
 def run_anneal(args):
     """--anneal: tempered (power-likelihood) burn-in vs a control chain.
 
@@ -353,6 +455,13 @@ def main():
                     help="--long: posterior-mean window (sweeps)")
     ap.add_argument("--anneal", action="store_true",
                     help="tempered-burn-in vs control experiment")
+    ap.add_argument("--hmc-arms", dest="hmc_arms", action="store_true",
+                    help="budget-matched HMC trajectory-length study")
+    ap.add_argument("--arms", type=str, default="10x50,4x125,2x250,1x500",
+                    help="--hmc-arms: comma list of itersxsteps splits")
+    ap.add_argument("--model-seed", type=int, default=0,
+                    help="--hmc-arms: fitting-model init seed")
+    ap.add_argument("--arms-out", type=str, default="config5_hmc_arms.json")
     ap.add_argument("--ramp", type=int, default=600,
                     help="--anneal: sweeps over which beta ramps to 1")
     ap.add_argument("--beta0", type=float, default=0.2,
@@ -373,6 +482,9 @@ def main():
         return
     if args.anneal:
         run_anneal(args)
+        return
+    if args.hmc_arms:
+        run_hmc_arms(args)
         return
     import pyglm_tpu as pt
 
