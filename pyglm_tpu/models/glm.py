@@ -121,11 +121,23 @@ class NonlinearAutoregressiveModel:
         # On a sharded model, ingest under the mesh: per-time-shard causal
         # conv with an L-bin ppermute halo, so the full (T, P) design is
         # never materialized on one device (SURVEY.md §5 long-context row).
-        if (self._mesh is not None
-                and Y.shape[0] % self._mesh.shape.get("time", 1) == 0
-                and Y.shape[0] // self._mesh.shape.get("time", 1) >= self.L):
-            from pyglm_tpu.ops.basis import design_matrix_sharded
-            Xf = design_matrix_sharded(Y, self.basis, self._mesh)
+        if self._mesh is not None:
+            n_time = self._mesh.shape.get("time", 1)
+            if Y.shape[0] % n_time == 0 and Y.shape[0] // n_time >= self.L:
+                from pyglm_tpu.ops.basis import design_matrix_sharded
+                Xf = design_matrix_sharded(Y, self.basis, self._mesh)
+            else:
+                import warnings
+                from pyglm_tpu.utils.utils import PerformanceWarning
+                warnings.warn(
+                    f"sharded model: dataset with T={Y.shape[0]} ingests "
+                    f"UNSHARDED (needs T divisible by the mesh time axis "
+                    f"{n_time} and a shard of at least L={self.L} bins); "
+                    f"the sweep will also bypass the mesh-fused "
+                    f"spike-and-slab path — pad or trim T to a multiple "
+                    f"of {n_time} to keep the sharded design",
+                    PerformanceWarning, stacklevel=2)
+                Xf = design_matrix(Y, self.basis)
         else:
             Xf = design_matrix(Y, self.basis)
         Gg0 = Gfull = XtY = None

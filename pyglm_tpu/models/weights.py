@@ -569,13 +569,33 @@ def _tspace_impl(key, Xf, omega, kappa, w_full,
     # per-group passes per device (Pallas on TPU shards), time-axis psums
     # of Jgg/M0, replicated edge scan. No fallback-to-staged under a mesh
     # (VERDICT r2 item #1).
-    if (mesh is not None and Xt is not None and Jg is None
-            and psi is not None
-            and T % mesh.shape.get("time", 1) == 0
-            and N % mesh.shape.get("neuron", 1) == 0
+    if (mesh is not None and Jg is None
             and os.environ.get("PYGLM_SS_BACKEND") != "xla"):
-        return _ss_fused_shard_map(key, Xt, omega, kappa, psi, w_full, hyp,
-                                   B, G, mesh, t_chunk, precision)
+        reasons = []
+        if Xt is None:
+            reasons.append("no transposed design (Xt) was registered")
+        if psi is None:
+            reasons.append("psi was not precomputed")
+        if T % mesh.shape.get("time", 1) != 0:
+            reasons.append(
+                f"T={T} is not divisible by the mesh time axis "
+                f"{mesh.shape.get('time', 1)}")
+        if N % mesh.shape.get("neuron", 1) != 0:
+            reasons.append(
+                f"N={N} is not divisible by the mesh neuron axis "
+                f"{mesh.shape.get('neuron', 1)}")
+        if not reasons:
+            return _ss_fused_shard_map(key, Xt, omega, kappa, psi, w_full,
+                                       hyp, B, G, mesh, t_chunk, precision)
+        # Loud downgrade (VERDICT r3 weak #3): the staged path below is
+        # exact but loses the fused per-shard passes. Trace-time warning —
+        # fires once per compiled sweep shape, not per sweep.
+        import warnings
+        from pyglm_tpu.utils.utils import PerformanceWarning
+        warnings.warn(
+            "mesh sweep is bypassing the fused spike-and-slab shard_map "
+            "and running the staged path: " + "; ".join(reasons),
+            PerformanceWarning, stacklevel=2)
 
     # Fully-fused kernel path (ops/ss_pallas.py): Gram + residual update +
     # in-kernel edge scan in ONE pallas pass — u/omega/design each streamed

@@ -71,9 +71,19 @@ def glm_shardings(mesh: Mesh, state: GLMState, datas: tuple):
         aux=jax.tree.map(lambda _: ns("neuron"), state.aux),
         net=jax.tree.map(lambda _: rep, state.net),
     )
+    # Datasets whose T the mesh time axis does not divide stay unsharded
+    # along time (replicated design, neuron-sharded observations) — the
+    # sweep is still correct, just without time parallelism for that
+    # dataset; shard_model warns loudly about the downgrade.
+    n_time = mesh.shape.get("time", 1)
     data_sh = tuple(
-        GLMData(Y=ns("time", "neuron"), Xf=ns("time", None),
-                Xt=None if d.Xt is None else ns(None, "time"),
+        GLMData(Y=ns("time" if int(d.Y.shape[0]) % n_time == 0 else None,
+                     "neuron"),
+                Xf=ns("time" if int(d.Y.shape[0]) % n_time == 0 else None,
+                      None),
+                Xt=None if d.Xt is None
+                else ns(None, "time" if int(d.Y.shape[0]) % n_time == 0
+                        else None),
                 Gg0=None if d.Gg0 is None else rep,
                 Gfull=None if d.Gfull is None else rep,
                 XtY=None if d.XtY is None else ns(None, "neuron"),
@@ -166,8 +176,21 @@ def shard_model(model, mesh: Mesh):
     datas = []
     for d in model.datas:
         T = int(d.Y.shape[0])
-        if (T % n_time == 0 and T // n_time >= model.L
-                and d.Gg0 is None and d.Gfull is None):
+        if T % n_time != 0 or T // n_time < model.L:
+            # Validate T like N above — but warn instead of raising: the
+            # sweep is still correct with an unsharded design, just slower
+            # (it loses the sharded ingest AND the mesh-fused
+            # spike-and-slab path, which needs T % n_time == 0).
+            import warnings
+            from pyglm_tpu.utils.utils import PerformanceWarning
+            warnings.warn(
+                f"shard(): dataset with T={T} keeps its UNSHARDED design "
+                f"(needs T divisible by the mesh time axis {n_time} and a "
+                f"shard of at least L={model.L} bins); the mesh sweep "
+                f"will fall back to the staged spike-and-slab path — pad "
+                f"or trim T to a multiple of {n_time}",
+                PerformanceWarning, stacklevel=2)
+        elif d.Gg0 is None and d.Gfull is None:
             Xf = design_matrix_sharded(d.Y, model.basis, mesh)
             d = d._replace(
                 Xf=Xf, Xt=None if d.Xt is None else jnp.asarray(Xf.T))

@@ -50,3 +50,13 @@ def expand_cov(sigma, shape):
 
 def softplus(x):
     return jnp.logaddexp(x, 0.0)
+
+
+class PerformanceWarning(UserWarning):
+    """The library took a correct-but-slower path than the model's
+    configuration implies (e.g. a sharded model ingesting a dataset
+    unsharded because T is not divisible by the mesh's time axis, or a
+    mesh sweep bypassing the fused spike-and-slab kernel). Results are
+    unaffected; throughput is. Filter with
+    ``warnings.simplefilter("error", PerformanceWarning)`` to make these
+    fatal in performance-critical deployments."""
