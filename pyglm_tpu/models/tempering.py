@@ -1,0 +1,186 @@
+"""Parallel tempering on the lane-stacked ensemble machinery.
+
+A temperature ladder beta_1 < ... < beta_C = 1 runs as ONE lane-stacked
+sweep (models/ensemble.py): chain c sweeps the POWER posterior
+
+    pi_c(theta) ∝ p(theta) * L(theta)^{beta_c},
+
+which for Bernoulli observations stays exactly in the PG family —
+p(y|psi)^beta = exp(beta*y*psi) / (1 + e^psi)^beta gives
+omega ~ PG(beta, psi), kappa = beta*(y - 1/2) — so the collapsed
+spike-and-slab machinery is unchanged per lane and the cold chain
+(beta = 1) is the standard exact sampler. Between sweeps, adjacent rungs
+exchange their ENTIRE parameter state (A, W, b, aux, network state) by a
+Metropolis swap on the joint density: swapping theta_i <-> theta_j is
+accepted with probability
+
+    min(1, exp((beta_j - beta_i) * (ll_i - ll_j))),
+
+where ll is the UNTEMPERED data log-likelihood (the shared prior cancels;
+the PG auxiliaries are not part of the carried state — they are redrawn
+from their conditional at the top of every sweep, so the swap operates on
+the marginal power posteriors, which is exactly valid). Even/odd adjacent
+pairs alternate by a random parity bit (a random mixture of valid kernels).
+
+Swap-acceptance feasibility: adjacent-rung acceptance is governed by the
+posterior fluctuation scale of ll — roughly Phi(-|d_beta| * sd(ll)) — so a
+ladder with |d_beta| >> 1/sd(ll) freezes. sd(ll) grows like sqrt(d_eff/2)
+with the effective parameter count; `suggest_ladder` builds a geometric
+ladder from a measured sd(ll). See BASELINE.md config-5 for the measured
+verdict on this model family.
+
+Reference analog: none — pyglm has no tempering or multi-chain machinery
+(SURVEY.md §3.5); this rides the TPU lane-stacked ensemble, where the
+marginal cost of a rung is its omega/u lanes only.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyglm_tpu.models.ensemble import _from_lanes, _to_lanes, stack_states
+from pyglm_tpu.models.sweep import GLMState, init_state_from_prior
+from pyglm_tpu.models.weights import (EdgeHypers, _PRECISIONS, pack_weights,
+                                      resample_spike_slab_tspace,
+                                      sufficient_stats, unpack_weights)
+from pyglm_tpu.ops.polyagamma import polya_gamma
+from pyglm_tpu.utils.utils import softplus
+
+
+def swap_permutation(key, lls, betas):
+    """One even/odd round of adjacent-rung Metropolis swaps.
+
+    Args:
+      lls: (C,) UNTEMPERED data log-likelihood of each chain's current state.
+      betas: (C,) ascending inverse temperatures.
+    Returns (perm (C,) int32 — apply as tree.map(lambda x: x[perm], state),
+    accept (C,) float32 — 1 where the rung swapped, parity ()).
+    """
+    C = betas.shape[0]
+    kp, ka = jax.random.split(key)
+    parity = jax.random.bernoulli(kp, 0.5).astype(jnp.int32)
+    i = jnp.arange(C)
+    is_left = ((i - parity) % 2) == 0
+    partner = jnp.where(is_left, i + 1, i - 1)
+    valid = (partner >= 0) & (partner < C)
+    partner = jnp.clip(partner, 0, C - 1)
+    # log alpha = (beta_p - beta_i)(ll_i - ll_p): symmetric under i <-> p,
+    # so both pair members compute the same value.
+    log_alpha = (betas[partner] - betas[i]) * (lls[i] - lls[partner])
+    # one uniform per PAIR (keyed by the pair's lower index)
+    us = jax.random.uniform(ka, (C,))
+    u_pair = us[jnp.minimum(i, partner)]
+    accept = valid & (jnp.log(u_pair) < log_alpha)
+    perm = jnp.where(accept, partner, i)
+    return perm, accept.astype(jnp.float32), parity
+
+
+def suggest_ladder(sd_ll, C, accept=0.3, beta_max=1.0):
+    """Geometric-in-(1-beta)... no: uniform-Delta ladder sized so adjacent
+    swaps accept at roughly `accept`, given the measured posterior standard
+    deviation of the untempered log-likelihood.
+
+    Adjacent acceptance ~ E min(1, e^{dbeta * dll}) with dll ~ N(0-ish,
+    ~2 sd_ll^2) between independent rungs, giving accept ~
+    erfc(dbeta * sd_ll / 2); invert for dbeta. Returns (betas (C,),
+    feasible_span = dbeta * (C-1)) — if feasible_span < the range you
+    wanted to cover, PT cannot both accept and span at this C.
+    """
+    from scipy.special import erfcinv
+    dbeta = 2.0 * erfcinv(accept) / max(float(sd_ll), 1e-12)
+    betas = beta_max - dbeta * np.arange(C - 1, -1, -1)
+    return np.asarray(betas, np.float64), float(dbeta * (C - 1))
+
+
+def make_tempered_sweep(obs, network, N: int, B: int, betas,
+                        spike_slab: bool = True, t_chunk: int = 512,
+                        precision: str = "high"):
+    """Build the C-rung parallel-tempering sweep: (key, stacked_state,
+    datas) -> (stacked_state, diag). Chain c targets the beta_c-power
+    posterior; rung C-1 (beta=1) is the exact cold chain. Bernoulli
+    observations only (the PG-exact power family used by the config-5
+    study; other families would need their own (beta*b, beta*kappa) maps).
+    """
+    assert getattr(obs, "name", None) == "bernoulli", (
+        "parallel tempering is implemented for Bernoulli observations")
+    betas = jnp.asarray(betas, jnp.float32)
+    C = betas.shape[0]
+    beta_lane = jnp.repeat(betas, N)            # (C*N,)
+    prec = _PRECISIONS[precision]
+
+    def sweep(key, st: GLMState, datas: tuple):
+        k_pg, k_w, k_net, k_swap = jax.random.split(key, 4)
+        w_lane = _to_lanes(jax.vmap(pack_weights)(st.A, st.W, st.b))
+        hyp_c = jax.vmap(network.edge_hypers)(st.net)
+        hyp = EdgeHypers(
+            mu=_to_lanes(hyp_c.mu), Lam=_to_lanes(hyp_c.Lam),
+            logit_rho=_to_lanes(hyp_c.logit_rho),
+            mu_b=hyp_c.mu_b.reshape(-1), lam_b=hyp_c.lam_b.reshape(-1))
+
+        Y_cat = jnp.concatenate([d.Y for d in datas], axis=0)
+        Y_lane = jnp.tile(Y_cat, (1, C))
+        Xf_cat = jnp.concatenate([d.Xf for d in datas], axis=0)
+        T = Y_cat.shape[0]
+
+        psi = jnp.dot(Xf_cat, w_lane, preferred_element_type=jnp.float32,
+                      precision=prec)
+        # tempered PG auxiliaries: omega ~ PG(beta, psi), kappa = beta*(y-1/2)
+        b_pg = jnp.broadcast_to(beta_lane[None, :], psi.shape)
+        omega = polya_gamma(k_pg, b_pg, psi, method="real")
+        kappa = beta_lane[None, :] * (Y_lane - 0.5)
+
+        if spike_slab:
+            Xt_cat = (jnp.concatenate([d.Xt for d in datas], axis=1)
+                      if all(d.Xt is not None for d in datas) else None)
+            A_lane, w_lane, u, _ = resample_spike_slab_tspace(
+                k_w, Xf_cat, omega, kappa, w_lane, hyp, B,
+                t_chunk=t_chunk, precision=precision, psi=psi, Xt=Xt_cat)
+            psi_cat = (kappa - u) / omega
+        else:
+            J, h = sufficient_stats(Xf_cat, omega, kappa, t_chunk=t_chunk,
+                                    precision=precision)
+            from pyglm_tpu.models.weights import resample_dense
+            w_lane = resample_dense(k_w, J, h, hyp, B)
+            A_lane = jnp.ones((N, C * N), jnp.float32)
+            psi_cat = jnp.dot(Xf_cat, w_lane,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+
+        w_c = _from_lanes(w_lane, C)
+        W, b = jax.vmap(unpack_weights, in_axes=(0, None, None))(w_c, N, B)
+        A = _from_lanes(A_lane, C)
+        net = jax.vmap(network.resample)(
+            jax.random.split(k_net, C), st.net, A, W)
+        new_st = GLMState(A, W, b, st.aux, net)
+
+        # UNTEMPERED log-likelihood per chain (psi under the new weights)
+        ll_el = Y_lane * psi_cat - softplus(psi_cat)
+        lls = ll_el.reshape(T, C, N).sum(axis=(0, 2))
+
+        # -- replica exchange: permute theta between rungs ----------------
+        perm, accept, parity = swap_permutation(k_swap, lls, betas)
+        new_st = jax.tree.map(lambda x: x[perm], new_st)
+        diag = {"log_likelihood": lls[perm], "n_edges": A.sum(axis=(1, 2)),
+                "swap_accept": accept, "swap_parity": parity}
+        if hasattr(net, "hmc_accept"):
+            diag["hmc_accept"] = net.hmc_accept[perm]
+        return new_st, diag
+
+    return sweep
+
+
+def init_tempered_states(model, betas, seeds=None):
+    """C prior-initialized chain states stacked on a chain axis, seeded like
+    run_stacked_chains so rung trajectories are reproducible."""
+    C = len(betas)
+    if seeds is None:
+        seeds = range(1, C + 1)
+    states = []
+    for sd in seeds:
+        kc = jax.random.fold_in(jax.random.key(int(sd)), 0x5EED)
+        _, k_init = jax.random.split(kc)
+        states.append(init_state_from_prior(
+            k_init, model.observation, model.network, model.N, model.B,
+            model.spike_and_slab))
+    return stack_states(states)
