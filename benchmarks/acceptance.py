@@ -55,8 +55,11 @@ THRESHOLDS = {
     # that minus an MC margin, i.e. ceiling-relative at this chain length
     # (~83% of the 0.962 truth-init ceiling). Chain extended 1500 -> 3000
     # as sweeps got cheaper (closed-form-gradient HMC, round 3).
+    # weight_corr floor added r4 (VERDICT r3 weak #7): measured 0.679 at
+    # the gated 3000+300 chain minus an MC margin.
     "5_latent_distance": {
-        "link_auc": (">=", 0.80), "pred_ll_gap_per_bin": ("<=", 0.040)},
+        "link_auc": (">=", 0.80), "weight_corr": (">=", 0.60),
+        "pred_ll_gap_per_bin": ("<=", 0.040)},
 }
 
 
