@@ -119,7 +119,8 @@ def main():
     if isinstance(state.aux, dict) and "r" in state.aux:
         timeit("NB aux resample (CRT r)",
                lambda Y_, psi, k, i: jnp.sum(obs.resample_aux(
-                   k, state.aux, Y_, psi + i * 1e-9)["r"]), d.Y, psi0)
+                   k, state.aux, Y_, psi + i * 1e-9,
+                   cache=d.llc)["r"]), d.Y, psi0)
     sweep = model._sweep
     timeit("FULL sweep",
            lambda st, ds, k, i: sweep(k, st, ds)[1]["log_likelihood"],

@@ -26,14 +26,29 @@ from pyglm_tpu.models.sweep import (
 
 
 def geweke_chain(key, obs, network, N: int, B: int, basis, T: int,
-                 spike_slab: bool, n_iters: int = 2000, t_chunk: int = 64):
+                 spike_slab: bool, n_iters: int = 2000, t_chunk: int = 64,
+                 precision: str = "highest", with_xt: bool = False,
+                 with_llc: bool = False):
     """Run the successive-conditional simulator; returns per-iteration
     parameter summaries (host numpy dict).
 
     Collected series: bias (n, N), A_density (n,), W_active_sum / sq (n,),
     plus network/obs-specific scalars when present (rho, r, eta).
+
+    ``with_xt=True`` registers the transposed design with each dataset, the
+    precondition for the fully-fused spike-and-slab kernel — the TPU lane
+    uses it (with ``precision='high'`` and a fused-eligible shape) to put
+    the in-kernel-PRNG edge scan under a joint-distribution test
+    (VERDICT r3 weak #4).
+
+    ``with_llc=True`` registers the psi-independent LL cache with each
+    regenerated dataset (via the family's traced ``ll_cache`` path), so the
+    cache-consuming conditionals — the NB collapsed-CRT r update and the
+    cached LL normalizer — face the joint-distribution test instead of the
+    elementwise fallbacks.
     """
-    sweep = make_gibbs_sweep(obs, network, N, B, spike_slab, t_chunk=t_chunk)
+    sweep = make_gibbs_sweep(obs, network, N, B, spike_slab, t_chunk=t_chunk,
+                             precision=precision)
     gen = make_generator(obs, N, B)
     basis = jnp.asarray(basis, jnp.float32)
 
@@ -43,7 +58,9 @@ def geweke_chain(key, obs, network, N: int, B: int, basis, T: int,
     def step(state, k):
         k1, k2 = jax.random.split(k)
         Y, _ = gen(k1, state, basis, T)
-        data = GLMData(Y=Y, Xf=design_matrix(Y, basis))
+        Xf = design_matrix(Y, basis)
+        data = GLMData(Y=Y, Xf=Xf, Xt=Xf.T if with_xt else None,
+                       llc=obs.ll_cache(Y) if with_llc else None)
         state, _ = sweep(k2, state, (data,))
         n_act = jnp.sum(state.A)
         Wsum = jnp.sum(state.W)                    # inactive entries are 0

@@ -81,7 +81,7 @@ class Bernoulli(_FamilyBase):
     def mean(self, psi, aux):
         return logistic(psi)
 
-    def resample_aux(self, key, aux, Y, psi):
+    def resample_aux(self, key, aux, Y, psi, cache=None):
         return aux
 
 
@@ -127,7 +127,7 @@ class Binomial(_FamilyBase):
     def mean(self, psi, aux):
         return self.n_trials * logistic(psi)
 
-    def resample_aux(self, key, aux, Y, psi):
+    def resample_aux(self, key, aux, Y, psi, cache=None):
         return aux
 
 
@@ -169,10 +169,19 @@ class NegativeBinomial(_FamilyBase):
         # (max_y+1, N) table once so the per-sweep total LL evaluates
         # (max_y+1)*N gammalns instead of T*N (~2.3 ms/sweep at the NB
         # flagship shapes, where gammaln at 20M elements dominated the LL
-        # stage — see BASELINE.md r3 NB ledger).
+        # stage — see BASELINE.md r3 NB ledger). The same table feeds the
+        # collapsed-CRT r update (resample_aux).
+        K = self.max_y + 1
+        if isinstance(Y, jax.core.Tracer):
+            # Traced path (the Geweke successive-conditional simulator
+            # regenerates Y inside a scan): one-hot contraction. Only used
+            # at tiny diagnostic shapes — concrete data takes the host
+            # bincount below.
+            counts = jnp.sum(jax.nn.one_hot(
+                jnp.asarray(Y, jnp.int32), K, axis=0), axis=1)
+            return {"counts": counts.astype(jnp.float32)}
         import numpy as np
         Yn = np.asarray(Y).astype(np.int64)
-        K = self.max_y + 1
         counts = np.stack(
             [np.bincount(Yn[:, j], minlength=K)[:K]
              for j in range(Yn.shape[1])], axis=1)
@@ -202,13 +211,35 @@ class NegativeBinomial(_FamilyBase):
     def mean(self, psi, aux):
         return aux["r"][None, :] * jnp.exp(psi)
 
-    def resample_aux(self, key, aux, Y, psi):
+    def resample_aux(self, key, aux, Y, psi, cache=None):
         if not self.resample_r:
             return aux
         k1, k2 = jax.random.split(key)
         r = aux["r"]
-        l = crt_sample(k1, Y.astype(jnp.int32), r[None, :], self.max_y)
-        shape = self.a_r + jnp.sum(l, axis=0).astype(jnp.float32)
+        if cache is not None:
+            # Collapsed CRT: the table counts l_tn = sum_{i<y_tn}
+            # Bern(r_n/(r_n+i)) are independent across (t, i) given y, and
+            # the r conditional needs only sum_t l_tn — so group the
+            # Bernoullis by table index i instead of by element:
+            #   sum_t l_tn = sum_i Binomial(#{t: y_tn > i}, r_n/(r_n+i)),
+            # an EXACT regrouping. Trial counts come from the cached
+            # (max_y+1, N) count table (the same one the LL normalizer
+            # contracts against), so the 20M-element x max_y-pass CRT
+            # kernel collapses to max_y*N binomial draws (~3 ms -> ~0.1 ms
+            # at the NB flagship). i = 0 has p = 1 (every y > 0 seats a
+            # first table) and is added deterministically.
+            counts = cache["counts"]                     # (max_y+1, N)
+            K = counts.shape[0]
+            # m[i] = #{t : y_tn > i} for i = 0..K-2 (suffix sums)
+            m = jnp.cumsum(counts[::-1], axis=0)[::-1][1:]   # (K-1, N)
+            i = jnp.arange(1, K - 1, dtype=jnp.float32)[:, None]
+            p = r[None, :] / (r[None, :] + i)
+            draws = jax.random.binomial(k1, m[1:], p)    # (K-2, N)
+            lsum = m[0] + jnp.sum(draws, axis=0)
+        else:
+            l = crt_sample(k1, Y.astype(jnp.int32), r[None, :], self.max_y)
+            lsum = jnp.sum(l, axis=0).astype(jnp.float32)
+        shape = self.a_r + lsum
         rate = self.b_r + jnp.sum(softplus(psi), axis=0)
         r_new = jax.random.gamma(k2, shape) / rate
         return {"r": jnp.maximum(r_new, 1e-3)}
@@ -250,7 +281,7 @@ class Gaussian(_FamilyBase):
     def mean(self, psi, aux):
         return psi
 
-    def resample_aux(self, key, aux, Y, psi):
+    def resample_aux(self, key, aux, Y, psi, cache=None):
         if not self.resample_eta:
             return aux
         T = Y.shape[0]

@@ -125,14 +125,16 @@ def make_gibbs_sweep(obs, network, N: int, B: int, spike_slab: bool,
                          precision=prec) for d in datas], axis=0)
 
         W, b = unpack_weights(w_full, N, B)
-        aux = obs.resample_aux(k_aux, state.aux, Y_cat, psi_cat)
-        net = network.resample(k_net, state.net, A, W)
-
         # Dataset ll caches are additive summaries (counts / scalar sums),
         # so concatenation over datasets = summing the caches.
         caches = [d.llc for d in datas]
         llc_tot = (jax.tree.map(lambda *xs: sum(xs), *caches)
                    if caches and all(c is not None for c in caches) else None)
+        # The cache also feeds the NB collapsed-CRT r update (the count
+        # table supplies the per-table-index binomial trial counts).
+        aux = obs.resample_aux(k_aux, state.aux, Y_cat, psi_cat,
+                               cache=llc_tot)
+        net = network.resample(k_net, state.net, A, W)
         ll = obs.log_likelihood_sum(Y_cat, psi_cat, aux, llc_tot)
         diag = {"log_likelihood": ll, "n_edges": jnp.sum(A)}
         if hasattr(net, "hmc_accept"):

@@ -154,7 +154,10 @@ def test_geweke_latent_distance():
 def test_geweke_negative_binomial():
     """NB observations: exercises the gamma-series PG sampler (b = y + r
     spans regimes) and the CRT-based r conditional. The learned-r marginal
-    must match its Gamma(a_r, b_r) prior."""
+    must match its Gamma(a_r, b_r) prior. with_llc=True routes the r update
+    through the collapsed-CRT (count-table binomial) path — the one the
+    flagship NB model takes after add_data — so its exactness is gated
+    jointly here, not just by the KS parity test."""
     from pyglm_tpu.models.observations import NegativeBinomial
     basis = cosine_basis(B=B, L=L)
     net = ErdosRenyiConfig(N=N, B=B, rho_init=0.4, learn_rho=False,
@@ -164,7 +167,7 @@ def test_geweke_negative_binomial():
     obs = NegativeBinomial(r_init=3.0, resample_r=True, a_r=a_r, b_r=b_r,
                            max_y=128)
     series = geweke_chain(jax.random.key(5), obs, net, N, B, basis, T,
-                          spike_slab=True, n_iters=N_ITERS)
+                          spike_slab=True, n_iters=N_ITERS, with_llc=True)
     b = series["bias"][::THIN]
     z = _z(b.mean(), -1.5, 0.2 ** 2, b.size)
     assert z < 5.0, (b.mean(), z)

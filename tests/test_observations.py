@@ -58,6 +58,35 @@ def test_nb_pg_b_and_kappa():
 
 
 @pytest.mark.slow
+def test_nb_collapsed_crt_matches_elementwise():
+    """The cached-count collapsed CRT (sum_i Binomial(#{y>i}, r/(r+i)))
+    must match the per-element CRT kernel in distribution — it is the same
+    set of independent Bernoullis regrouped by table index, so the r draw's
+    marginal is identical. KS-compared per neuron."""
+    from scipy.stats import ks_2samp
+    fam = NegativeBinomial(max_y=8)
+    rng = np.random.RandomState(0)
+    T, N = 300, 2
+    Y = jnp.asarray(np.minimum(rng.negative_binomial(4, 0.5, (T, N)), 8),
+                    jnp.float32)
+    psi = jnp.asarray(rng.randn(T, N) * 0.3, jnp.float32)
+    aux = {"r": jnp.asarray([2.0, 5.5], jnp.float32)}
+    cache = fam.ll_cache(Y)
+    REP = 1500
+
+    def draw(path_cache, seed0):
+        f = jax.jit(lambda k: fam.resample_aux(
+            k, aux, Y, psi, cache=path_cache)["r"])
+        ks = jax.random.split(jax.random.key(seed0), REP)
+        return np.stack([np.asarray(f(k)) for k in ks])
+
+    a, b = draw(None, 1), draw(cache, 2)
+    for n in range(N):
+        s, p = ks_2samp(a[:, n], b[:, n])
+        assert p > 1e-3, (n, s, p)
+
+
+@pytest.mark.slow
 def test_nb_r_resample_concentrates():
     """With lots of data at psi=0, resampled r should be near mean counts."""
     fam = NegativeBinomial(r_init=4.0, max_y=128)
@@ -133,12 +162,17 @@ def test_ll_cache_sum_matches_elementwise():
 def test_sweep_ll_diag_uses_cache_consistently():
     """The sweep's log_likelihood diagnostic must agree between a dataset
     registered through add_data (cache present) and a bare GLMData (cache
-    absent), at the same state and key."""
+    absent), at the same state and key. resample_r=False isolates the LL
+    regrouping: with r resampling ON the cache also switches the r update
+    to the collapsed-CRT sampler, which is equal in DISTRIBUTION but not
+    bitwise at a shared key (test_nb_collapsed_crt_matches_elementwise
+    covers that equivalence)."""
     import pyglm_tpu as pt
     from pyglm_tpu.models.sweep import GLMData
 
     m = pt.SparseNegativeBinomialGLM(4, B=2, L=5, seed=0,
-                                     obs_kwargs=dict(max_y=16))
+                                     obs_kwargs=dict(max_y=16,
+                                                     resample_r=False))
     Y = np.minimum(np.random.RandomState(0).poisson(1.0, (400, 4)), 15)
     m.add_data(Y)
     assert m.datas[0].llc is not None
