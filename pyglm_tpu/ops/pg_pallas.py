@@ -364,17 +364,23 @@ def pg_devroye_pallas(key, c):
 
 
 def _tail_alpha_beta(b2, c2):
-    """Gamma(alpha)/beta parameters matching the first two moments of the
-    k > _GAMMA_K series tail (XLA: _tail_sums needs atan)."""
+    """delta + Gamma(alpha)/beta parameters matching the first THREE
+    moments of the k > _GAMMA_K series tail (XLA side: _tail_sums needs
+    atan, which Mosaic lacks). The 2-moment gamma undershoots the tail's
+    skewness (Cauchy-Schwarz: S2^2 <= S1 S3), so delta >= 0 and the match
+    stays on positive support; the kernel draws Gamma(alpha)/beta and the
+    caller adds delta post-kernel."""
     from pyglm_tpu.ops.polyagamma import _tail_sums
     bs = jnp.maximum(b2, 1e-6)
     a = jnp.abs(c2) / (2.0 * _PI)
-    S1, S2 = _tail_sums(a, _GAMMA_K)
+    S1, S2, S3 = _tail_sums(a, _GAMMA_K)
     m_t = bs * S1 / (2.0 * _PI * _PI)
     v_t = bs * S2 / (4.0 * _PI ** 4)
-    alpha = m_t * m_t / jnp.maximum(v_t, 1e-30)
-    beta = m_t / jnp.maximum(v_t, 1e-30)
-    return alpha, beta
+    mu3_t = 2.0 * bs * S3 / (2.0 * _PI * _PI) ** 3
+    beta = 2.0 * v_t / jnp.maximum(mu3_t, 1e-30)
+    alpha = v_t * beta * beta
+    delta = jnp.maximum(m_t - alpha / beta, 0.0)
+    return alpha, beta, delta
 
 
 _GAMMA_SMALL_ROUNDS = 8     # straggler budget: residual miss ~6e-10/elt
@@ -385,10 +391,9 @@ def _pg_gamma_draw_small(key, b, c):
     finisher: one single-block kernel call with _GAMMA_SMALL_ROUNDS
     Marsaglia-Tsang rounds per term (residual per-element miss ~6e-10 —
     those keep their truncated value, the same negligible-fallback policy
-    as the Devroye finisher). The moment-matched tail is added here too,
-    so a finished element's law matches the main path's."""
-    from pyglm_tpu.ops.polyagamma import _tail_sums
-
+    as the Devroye finisher). The moment-matched tail (gamma in-kernel +
+    3rd-moment shift delta here) is added too, so a finished element's law
+    matches the main path's."""
     S = b.shape[0]
     rows = -(-S // _LANES)
     # Tile rows so the kernel fits scoped VMEM at ANY straggler count:
@@ -399,7 +404,7 @@ def _pg_gamma_draw_small(key, b, c):
     pad = rows_p * _LANES - S
     b2 = jnp.pad(b, (0, pad), constant_values=1.0).reshape(rows_p, _LANES)
     c2 = jnp.pad(c, (0, pad)).reshape(rows_p, _LANES)
-    alpha, beta = _tail_alpha_beta(b2, c2)
+    alpha, beta, delta = _tail_alpha_beta(b2, c2)
     seed = jax.random.key_data(key).astype(jnp.uint32)[:2].astype(jnp.int32)
     spec = pl.BlockSpec((blk, _LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -413,7 +418,7 @@ def _pg_gamma_draw_small(key, b, c):
             jax.ShapeDtypeStruct((rows_p, _LANES), jnp.float32),
         ],
     )(seed, b2, c2, alpha, beta)
-    return out.reshape(-1)[:S]
+    return (out + delta).reshape(-1)[:S]
 
 
 # ---------------------------------------------------------------------------
@@ -587,7 +592,7 @@ def pg_gamma_series_pallas(key, b, c, K: int = _GAMMA_K):
     c2d = cflat.reshape(n_blk * _BLK, _LANES)
     k1, k2 = jax.random.split(key)
 
-    alpha2d, beta2d = _tail_alpha_beta(b2d, c2d)
+    alpha2d, beta2d, delta2d = _tail_alpha_beta(b2d, c2d)
 
     def gamma_pass(kk):
         seed = jax.random.key_data(kk).astype(jnp.uint32)[:2].astype(jnp.int32)
@@ -610,7 +615,10 @@ def pg_gamma_series_pallas(key, b, c, K: int = _GAMMA_K):
     valid = (jnp.arange(M) < total).reshape(n_blk * _BLK, _LANES)
     fail = fail & valid
 
-    out = series          # tail already added in-kernel
+    # tail gamma is drawn in-kernel; its 3rd-moment shift delta is added
+    # here (the finisher's redraws add their own delta inside
+    # _pg_gamma_draw_small, so replaced elements stay consistent)
+    out = series + delta2d
 
     # The 2-round shared-proposal main pass leaves ~2e-5 of elements
     # unresolved (one of their K gamma draws exhausted its budget) — a
