@@ -35,7 +35,7 @@ def _load_x(xt_ref, om_ref, T):
     VMEM data, so they are where-masked to exact zeros. Omega IS padded
     (zeros) to the chunk boundary by the caller, so 0 * 0 = 0 keeps the
     accumulated Gram exact."""
-    t = pl.program_id(1)
+    t = pl.program_id(2)
     tc = om_ref.shape[0]
     x = xt_ref[:]
     if T is not None and T % tc != 0:
@@ -48,7 +48,7 @@ def _gram_kernel_fast(xt_ref, om_ref, out_ref, *, T=None):
     """Single bf16 MXU pass: ~8e-4 relative error on the stats. This is the
     opt-in speed mode (model precision='default'); statistically validated
     against the f32 path in the acceptance harness, but not bitwise-f32."""
-    t = pl.program_id(1)
+    t = pl.program_id(2)
 
     @pl.when(t == 0)
     def _():
@@ -62,7 +62,7 @@ def _gram_kernel_fast(xt_ref, om_ref, out_ref, *, T=None):
 
 def _gram_kernel_f32(xt_ref, om_ref, out_ref, *, T=None):
     """Manual bf16x3 (~f32-accurate; Mosaic has no HIGH lowering)."""
-    t = pl.program_id(1)
+    t = pl.program_id(2)
 
     @pl.when(t == 0)
     def _():
@@ -118,7 +118,22 @@ def group_gram_blocks_pallas_t(Xt, omega, B: int, G: int,
         t_chunk = 512
     n_chunks = -(-T // t_chunk)
     pad_t = n_chunks * t_chunk - T
-    Npad = -(-N // 128) * 128
+    # Lane (postsyn) axis tiling: at wide lane counts (lane-stacked
+    # ensembles / tempering ladders, e.g. C*N = 4000) an untiled Npad blows
+    # the ~16 MB scoped-VMEM limit (measured 66 MB at GB=40, Npad=4096).
+    # Size Nblk from the measured VMEM model: the f32 out (GB^2, Nblk) and
+    # omega (t_chunk, Nblk) blocks are DOUBLE-buffered by the pipeline
+    # (8 bytes/elem), the kernel's bf16 omega copies add 4*t_chunk*Nblk,
+    # and the lane-independent Z expansion (f32 + two bf16 copies) costs
+    # ~8*GB^2*t_chunk. Budget 12 MB of the 16 MB scope. Flagship shapes
+    # (N=200, GB=32) keep a single lane block — no change there. The
+    # design block is re-streamed once per lane block — Gram FLOPs dominate
+    # at the shapes where more than one block exists.
+    budget = 12 * 2 ** 20 - 8 * GB * GB * t_chunk
+    nb_fit = budget // (8 * GB * GB + 12 * t_chunk) // 128 * 128
+    Nblk = max(128, min(-(-N // 128) * 128, nb_fit))
+    n_nblk = -(-N // Nblk)
+    Npad = n_nblk * Nblk
     # The design is NOT padded (no 320 MB copy): its partial edge block is
     # masked in-kernel, and its trailing bias row (P = N_pre*B + 1) sits in
     # sublane block index Ng which the grid never touches. Omega IS padded
@@ -127,14 +142,14 @@ def group_gram_blocks_pallas_t(Xt, omega, B: int, G: int,
 
     out = pl.pallas_call(
         partial(kernel, T=T),
-        grid=(Ng, n_chunks),
+        grid=(Ng, n_nblk, n_chunks),
         in_specs=[
-            pl.BlockSpec((GB, t_chunk), lambda g, t: (g, t),
+            pl.BlockSpec((GB, t_chunk), lambda g, n, t: (g, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_chunk, Npad), lambda g, t: (t, 0),
+            pl.BlockSpec((t_chunk, Nblk), lambda g, n, t: (t, n),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, GB * GB, Npad), lambda g, t: (g, 0, 0),
+        out_specs=pl.BlockSpec((1, GB * GB, Nblk), lambda g, n, t: (g, 0, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Ng, GB * GB, Npad), jnp.float32),
     )(Xt, Op)
