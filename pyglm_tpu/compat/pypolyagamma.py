@@ -53,7 +53,24 @@ def pgdrawv(ns, zs, out=None, seed: int = 0):
 
 def pgdrawvpar(ppgs, ns, zs, out=None):
     """Reference signature: list of per-thread PyPolyaGamma objects + draw
-    vectors. The draw is already fully data-parallel on TPU; the first
-    generator's stream is used."""
-    ppg = ppgs[0] if len(ppgs) else PyPolyaGamma(0)
-    return ppg.pgdrawv(ns, zs, out)
+    vectors. The draw is already fully data-parallel on TPU; like the
+    reference's OpenMP static schedule, the vector is partitioned into
+    contiguous chunks, one per generator, and each chunk consumes ITS
+    generator's stream — so per-generator seed reproducibility matches the
+    reference's per-thread behavior (same ppgs + same inputs => same
+    chunk-to-stream assignment)."""
+    if not len(ppgs):
+        return PyPolyaGamma(0).pgdrawv(ns, zs, out)
+    ns = np.asarray(ns, np.float32)
+    zs = np.asarray(zs, np.float32)
+    if len(ppgs) == 1 or ns.shape[0] == 0:
+        return ppgs[0].pgdrawv(ns, zs, out)
+    bounds = np.linspace(0, ns.shape[0], len(ppgs) + 1).astype(int)
+    res = np.concatenate([
+        np.atleast_1d(ppg.pgdrawv(ns[lo:hi], zs[lo:hi]))
+        for ppg, lo, hi in zip(ppgs, bounds[:-1], bounds[1:])
+        if hi > lo])
+    if out is not None:
+        out[...] = res
+        return out
+    return res

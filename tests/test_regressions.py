@@ -98,6 +98,12 @@ def test_pypolyagamma_compat_surface():
     out2 = np.zeros(1000)
     pgdrawvpar([PyPolyaGamma(1), PyPolyaGamma(2)], ns, zs, out2)
     assert np.all(out2 > 0) and not np.array_equal(out, out2)
+    # per-generator streams (reference OpenMP static-schedule semantics):
+    # each contiguous chunk must reproduce ITS generator's own pgdrawv,
+    # so a given (seed list, inputs) pair is bitwise reproducible
+    chunk1 = PyPolyaGamma(1).pgdrawv(ns[:500], zs[:500])
+    chunk2 = PyPolyaGamma(2).pgdrawv(ns[500:], zs[500:])
+    np.testing.assert_array_equal(out2, np.concatenate([chunk1, chunk2]))
     # mixed b dispatch
     ns_mixed = np.asarray([1.0, 3.5, 100.0])
     out3 = ppg.pgdrawv(ns_mixed, np.ones(3))
