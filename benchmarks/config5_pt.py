@@ -13,14 +13,19 @@ lane-stacked machinery (models/tempering.py):
   arm span — C rungs spanning beta in [0.3, 1]: the ladder any tempering
       argument wants. Predicted (and measured) swap acceptance ~ 0 at this
       model's sd(ll), making the rungs independent chains.
-  arm feasible — C rungs at the gap that DOES accept (~30%), i.e. a ladder
-      spanning only ~C*2.4/sd(ll) of the unit interval. Swaps flow, but the
-      hottest rung is barely tempered, so cold-chain tau cannot move.
+  arm feasible — C rungs at the gap that DOES accept (~30%+), i.e. a
+      ladder spanning only ~C*2.4/sd(ll) of the unit interval.
+  arm ensemble — C INDEPENDENT untempered chains (plain lane-stacked
+      sweep), window-A estimates pooled: the same-FLOPs baseline that
+      separates "tempering helps mixing" from "C chains help averaging".
 
 If the feasibility wall holds (span*accept trade-off), PT at practical C
 is structurally unable to help this posterior and the result is recorded
 as the sixth null in BASELINE.md; if the cold chain's tau/AUC beats the
-control beyond MC noise, tempering ships as a fit option instead.
+controls beyond MC noise, tempering ships as a fit option instead.
+Round-4 result (config5_pt.json; BASELINE.md config-5): feasible ladder
+cut tau_int median 59 -> 9 and beat the single chain's matched-budget AUC
+0.823 -> 0.860 — shipped as GLM.fit_tempered.
 
 Run: python benchmarks/config5_pt.py [--N 500] [--T 20000] [--sweeps 2400]
      [--chains 8] [--out config5_pt.json]
@@ -49,7 +54,17 @@ def main():
     ap.add_argument("--accept-target", type=float, default=0.3)
     ap.add_argument("--precision", default="high")
     ap.add_argument("--out", default="config5_pt.json")
+    ap.add_argument("--arms", default="control,span,feasible,ensemble",
+                    help="comma-set of arms to run; skipped arms are "
+                         "merged from --merge-from if given")
+    ap.add_argument("--merge-from", default=None,
+                    help="existing results JSON to carry skipped arms from")
     args = ap.parse_args()
+    arms = set(args.arms.split(","))
+    prev = {}
+    if args.merge_from:
+        with open(args.merge_from) as f:
+            prev = json.load(f)
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -136,8 +151,12 @@ def main():
                         "sweeps_per_sec": round(S / el, 2),
                         "seconds": round(el, 1)}), sd_ll
 
-    print(f"# control ({S} sweeps)", flush=True)
-    res_control, sd_ll = run_control()
+    if "control" in arms:
+        print(f"# control ({S} sweeps)", flush=True)
+        res_control, sd_ll = run_control()
+    else:
+        res_control = prev["control"]
+        sd_ll = res_control["sd_ll_postburn"]
 
     # feasibility accounting
     from scipy.special import erfcinv
@@ -164,7 +183,9 @@ def main():
         cold = C - 1
 
         @partial(jax.jit, static_argnames=("length",))
-        def segC(key, state, length):
+        def segC(key, state, ds, length):
+            # ds passed as an argument, not closed over: closures over big
+            # arrays 413 the remote compile relay (CLAUDE.md gotcha).
             def step(carry, k):
                 s, acc = carry
                 s, diag = sweepC(k, s, ds)
@@ -184,7 +205,7 @@ def main():
         t0 = time.time()
         for done in range(seg_len, S + 1, seg_len):
             key, k = jax.random.split(key)
-            st, acc, (lrhos, sws, lls) = segC(k, st, length=seg_len)
+            st, acc, (lrhos, sws, lls) = segC(k, st, ds, length=seg_len)
             lrho_trace[done - seg_len:done] = np.asarray(lrhos)
             sw_acc += np.asarray(sws).sum(axis=0)
             win_acc += np.asarray(acc); win_n += seg_len
@@ -205,17 +226,89 @@ def main():
             "swap_rate_mean": float(np.mean(rung_rate)),
             "sweeps_per_sec": round(S / el, 2), "seconds": round(el, 1)})
 
-    print(f"# arm span ({C} rungs, beta {args.span_lo}..1)", flush=True)
-    res_span = run_pt("span", np.geomspace(args.span_lo, 1.0, C))
+    # -------- ensemble control: C INDEPENDENT chains, pooled -------------
+    # The feasible arm's cold lane borrows states from C-1 sibling rungs,
+    # so the fair same-FLOPs baseline is C independent untempered chains
+    # with their window-A estimates POOLED. Uses the plain lane-stacked
+    # sweep (models/ensemble.py) — no swaps, so lane C-1's panel trace is
+    # a true single chain (its tau should reproduce the control's) while
+    # the pooled AUC shows what C-way averaging buys without tempering.
+    def run_ensemble_control():
+        from pyglm_tpu.models.ensemble import make_stacked_sweep
+        m = pt.NonlinearAutoregressiveModel(
+            N, B=4, L=10, observation="bernoulli", network="latent_distance",
+            spike_and_slab=True, seed=0, precision=args.precision,
+            net_kwargs=dict(dim=2))
+        m.add_data(Y)
+        sweepC = make_stacked_sweep(
+            m.observation, m.network, N, m.B, C, spike_slab=True,
+            t_chunk=m._t_chunk, precision=args.precision)
+        st = init_tempered_states(m, np.ones(C))
+        ds = tuple(m.datas)
 
-    betas_f, span_f = suggest_ladder(sd_ll, C, accept=args.accept_target)
-    print(f"# arm feasible (dbeta={dbeta_ok:.5f}, span={span_f:.4f})",
-          flush=True)
-    res_feas = run_pt("feasible", betas_f)
+        @partial(jax.jit, static_argnames=("length",))
+        def segE(key, state, ds, length):
+            def step(carry, k):
+                s, acc, acc1 = carry
+                s, diag = sweepC(k, s, ds)
+                return ((s, acc + s.A.mean(axis=0), acc1 + s.A[C - 1]),
+                        (panel(s.net.L[C - 1], s.net.gamma[C - 1]),
+                         diag["log_likelihood"]))
+            z = jnp.zeros_like(true_A).astype(jnp.float32)
+            (s, acc, acc1), outs = jax.lax.scan(
+                step, (state, z, z), jax.random.split(key, length))
+            return s, acc, acc1, outs
+
+        key = jax.random.key(99)
+        lrho_trace = np.zeros((S, 64), np.float32)
+        win_acc = np.zeros_like(true_A); win1 = np.zeros_like(true_A)
+        win_n = 0
+        pts, pts1 = [], []
+        t0 = time.time()
+        for done in range(seg_len, S + 1, seg_len):
+            key, k = jax.random.split(key)
+            st, acc, acc1, (lrhos, lls) = segE(k, st, ds, length=seg_len)
+            lrho_trace[done - seg_len:done] = np.asarray(lrhos)
+            win_acc += np.asarray(acc); win1 += np.asarray(acc1)
+            win_n += seg_len
+            if win_n == window:
+                pts.append([done, float(link_auc(win_acc / win_n, true_A))])
+                pts1.append([done, float(link_auc(win1 / win_n, true_A))])
+                win_acc[:] = 0.0; win1[:] = 0.0; win_n = 0
+            if done % 400 == 0:
+                el = time.time() - t0
+                print(f"  ensemble: {done}/{S} ({el:.0f}s)", flush=True)
+        el = time.time() - t0
+        # tau on ONE lane (the label-permuted cold lane is an exchangeable
+        # mixture of the C chains — same marginal law as one chain)
+        return analyze(lrho_trace, pts, {
+            "arm": "ensemble", "auc_trajectory_single_lane": pts1,
+            "sweeps_per_sec": round(S / el, 2), "seconds": round(el, 1)})
+
+    if "span" in arms:
+        print(f"# arm span ({C} rungs, beta {args.span_lo}..1)", flush=True)
+        res_span = run_pt("span", np.geomspace(args.span_lo, 1.0, C))
+    else:
+        res_span = prev.get("span")
+
+    if "feasible" in arms:
+        betas_f, span_f = suggest_ladder(sd_ll, C, accept=args.accept_target)
+        print(f"# arm feasible (dbeta={dbeta_ok:.5f}, span={span_f:.4f})",
+              flush=True)
+        res_feas = run_pt("feasible", betas_f)
+    else:
+        res_feas = prev.get("feasible")
+
+    if "ensemble" in arms:
+        print(f"# arm ensemble ({C} independent chains, pooled)", flush=True)
+        res_ens = run_ensemble_control()
+    else:
+        res_ens = prev.get("ensemble")
 
     out = {"N": N, "T": T, "sweeps": S, "chains": C,
            "precision": args.precision, "feasibility": feas,
-           "control": res_control, "span": res_span, "feasible": res_feas}
+           "control": res_control, "span": res_span, "feasible": res_feas,
+           "ensemble": res_ens}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {args.out}")

@@ -439,6 +439,122 @@ class NonlinearAutoregressiveModel:
         out["rhat_ll"] = float(np.asarray(split_rhat(out["lls"][..., None]))[0])
         return out
 
+    def fit_tempered(self, n_samples: int = 100, n_burnin: int = 0,
+                     thin: int = 1, n_rungs: int = 8, betas=None,
+                     accept: float = 0.3, pilot_sweeps: int = 200,
+                     seeds=None, max_sweeps_per_launch: int = 250):
+        """Parallel-tempered Gibbs: a ``n_rungs`` inverse-temperature ladder
+        β_1 < … < β_C = 1 run as ONE lane-stacked sweep, with adjacent-rung
+        replica-exchange swaps every sweep (models/tempering.py). Returns
+        the COLD (β = 1) rung's thinned samples in the same dict contract
+        as ``fit_compiled`` ('A','W','bias','lls'), plus the diagnostics
+        'betas' (C,) and 'swap_rate' (C,) — accepted swaps per attempt per
+        rung; healthy ladders sit well above ~0.2.
+
+        Ladder choice: with ``betas=None`` a short pilot of the standard
+        chain measures the posterior fluctuation scale sd(ll) of the
+        untempered log-likelihood, and the ladder is spaced at the uniform
+        Δβ whose adjacent-swap acceptance is ≈ ``accept``
+        (tempering.suggest_ladder). The resulting span 1 − β_1 is narrow
+        when sd(ll) is large (Δβ ≈ 2 erfc⁻¹(accept)/sd(ll)) — that is the
+        ladder the config-5 study measured to cut τ_int of the
+        latent-distance position panel ~6× and lift matched-budget link
+        AUC (BASELINE.md config-5, round 4); wide ladders at practical C
+        freeze (swap rate ≈ 0) on these posteriors.
+
+        Bernoulli observations only: the β-power likelihood stays in the
+        PG family (ω ~ PG(β, ψ), κ = β(y−½)), so every rung's conditional
+        remains exact. Reference analog: none (SURVEY.md §3.5 — the
+        reference leaves multi-chain strategies to the user).
+        """
+        from pyglm_tpu.models.tempering import (init_tempered_states,
+                                                make_tempered_sweep,
+                                                suggest_ladder)
+
+        assert self.datas, "call add_data() or generate(keep=True) first"
+        assert self._mesh is None, (
+            "fit_tempered runs on the lane-stacked (unsharded) machinery; "
+            "temper before shard(), or run the sharded chain untempered")
+        cap = max(1, max_sweeps_per_launch)
+        if thin > cap:
+            raise ValueError(
+                f"thin={thin} exceeds max_sweeps_per_launch={cap}")
+
+        if betas is None:
+            # Pilot: measure sd(ll) near the posterior on the standard
+            # chain (state/key restored — the pilot is scaffolding).
+            state0, key0 = self.state, self._key
+            try:
+                pilot = self.fit_compiled(
+                    n_samples=pilot_sweeps, n_burnin=pilot_sweeps,
+                    max_sweeps_per_launch=cap)
+            finally:
+                self.state, self._key = state0, key0
+            sd_ll = float(np.std(pilot["lls"]))
+            betas, _span = suggest_ladder(sd_ll, n_rungs, accept=accept)
+        betas = np.asarray(betas, np.float64)
+        C = betas.shape[0]
+
+        sweep = make_tempered_sweep(
+            self.observation, self.network, self.N, self.B, betas,
+            spike_slab=self.spike_and_slab, t_chunk=self._t_chunk,
+            precision=self._precision)
+        st = init_tempered_states(self, betas, seeds=seeds)
+        datas = tuple(self.datas)
+        cold = C - 1
+        key = jax.random.fold_in(self._next_key(), 0x7E3B)
+
+        def burn_seg(key, st, datas, length):
+            def step(s, k):
+                s, d = sweep(k, s, datas)
+                return s, d["swap_accept"]
+            st, acc = jax.lax.scan(step, st, jax.random.split(key, length))
+            return st, acc.sum(axis=0)
+
+        def sample_seg(key, st, datas, length):
+            def one(s, k):
+                ks = jax.random.split(k, thin)
+                s, d = jax.lax.scan(
+                    lambda ss, kk: sweep(kk, ss, datas), s, ks)
+                return s, (s.A[cold], s.W[cold], s.b[cold],
+                           d["log_likelihood"][-1, cold],
+                           d["swap_accept"].sum(axis=0))
+            st, outs = jax.lax.scan(one, st, jax.random.split(key, length))
+            return st, outs
+
+        burn_j = jax.jit(burn_seg, static_argnames=("length",))
+        sample_j = jax.jit(sample_seg, static_argnames=("length",))
+
+        sw_acc = np.zeros(C, np.float64)
+        n_sweeps = 0
+        left = n_burnin
+        while left > 0:
+            c = min(left, cap)
+            key, k = jax.random.split(key)
+            st, acc = burn_j(k, st, datas, length=c)
+            sw_acc += np.asarray(acc); n_sweeps += c
+            left -= c
+        out = {"A": [], "W": [], "bias": [], "lls": []}
+        left = n_samples
+        while left > 0:
+            c = min(left, max(1, cap // max(1, thin)))
+            key, k = jax.random.split(key)
+            st, (A, W, b, lls, acc) = sample_j(k, st, datas, length=c)
+            out["A"].append(np.asarray(A))
+            out["W"].append(np.asarray(W))
+            out["bias"].append(np.asarray(b))
+            out["lls"].append(np.asarray(lls))
+            sw_acc += np.asarray(acc).sum(axis=0); n_sweeps += c * thin
+            left -= c
+        res = {k: np.concatenate(v, axis=0) for k, v in out.items()}
+        # Interior rungs attempt one swap per sweep; the two ends only on
+        # their parity (half the sweeps) — normalize to per-attempt rates.
+        attempts = np.full(C, max(n_sweeps, 1), np.float64)
+        attempts[0] *= 0.5; attempts[-1] *= 0.5
+        res["swap_rate"] = sw_acc / attempts
+        res["betas"] = betas
+        return res
+
     def copy_sample(self):
         """Host snapshot of the current parameter sample (pickle-friendly)."""
         return jax.tree.map(np.asarray, self.state)

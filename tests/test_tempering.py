@@ -1,126 +1,122 @@
-"""Parallel-tempering machinery (models/tempering.py): swap-move
-correctness and cold-chain exactness. The config-5 scale experiment lives
-in benchmarks/config5_pt.py; BASELINE.md records its verdict."""
+"""Parallel tempering (models/tempering.py + GLM.fit_tempered).
+
+Exactness requirement: the COLD (beta = 1) rung of the tempered ensemble
+targets the standard posterior — replica-exchange swaps are Metropolis
+moves on the joint density of the ladder, so they leave every rung's
+marginal invariant. The statistical test compares cold-rung posterior
+functionals against a plain fit_compiled chain on the same data; a wrong
+swap acceptance (sign, wrong ll, tempered-vs-untempered confusion) biases
+the cold marginal toward the hot rungs' flatter posteriors and fails it.
+"""
 import numpy as np
-import jax
-import jax.numpy as jnp
 import pytest
 
+import jax
+import jax.numpy as jnp
+
 import pyglm_tpu as pt
-from pyglm_tpu.models.tempering import (init_tempered_states,
-                                        make_tempered_sweep,
-                                        swap_permutation, suggest_ladder)
+from pyglm_tpu.models.tempering import suggest_ladder, swap_permutation
 
 
-def test_swap_permutation_is_valid_permutation():
-    betas = jnp.asarray([0.4, 0.7, 0.9, 1.0])
+def _make_model(seed=0):
+    return pt.SparseBernoulliGLM(
+        6, B=2, L=5, seed=seed,
+        net_kwargs=dict(rho_init=0.3, learn_rho=False, mu_bias=-1.5,
+                        sigma_bias=0.3, sigma_w=0.8,
+                        learn_weight_prior=False))
+
+
+def test_swap_permutation_is_pairwise():
+    """The returned perm must be an involution built from adjacent pairs:
+    applying it twice is the identity, and every move is to a neighbor."""
+    betas = jnp.asarray(np.linspace(0.9, 1.0, 6), jnp.float32)
     for s in range(20):
-        lls = jnp.asarray(np.random.RandomState(s).randn(4) * 5)
+        lls = jax.random.normal(jax.random.key(100 + s), (6,)) * 50.0
         perm, acc, parity = swap_permutation(jax.random.key(s), lls, betas)
         p = np.asarray(perm)
-        assert sorted(p.tolist()) == [0, 1, 2, 3]
-        # adjacent transpositions only, and an involution
-        assert np.all(np.abs(p - np.arange(4)) <= 1)
-        assert np.array_equal(p[p], np.arange(4))
+        assert np.array_equal(p[p], np.arange(6))
+        assert np.max(np.abs(p - np.arange(6))) <= 1
+        assert np.array_equal(np.asarray(acc) > 0, p != np.arange(6))
 
 
-def test_swap_permutation_accepts_and_rejects_correctly():
-    """Favorable swaps (hot chain holds the higher likelihood) always
-    accept; strongly unfavorable ones never do."""
-    betas = jnp.asarray([0.5, 1.0])
-    n_sw_fav = n_par0 = n_sw_unfav = 0
-    for s in range(400):
-        perm_f, _, par = swap_permutation(
-            jax.random.key(s), jnp.asarray([50.0, -50.0]), betas)
-        perm_u, _, _ = swap_permutation(
-            jax.random.key(s), jnp.asarray([-50.0, 50.0]), betas)
-        if int(par) == 0:
-            n_par0 += 1
-            n_sw_fav += int(np.asarray(perm_f)[0] == 1)
-        n_sw_unfav += int(np.asarray(perm_u)[0] == 1)
-    # parity 0 pairs (0,1); log_alpha = (1-0.5)*(ll_0-ll_1) = +50 or -50
-    assert n_par0 > 150
-    assert n_sw_fav == n_par0          # always accepted when favorable
-    assert n_sw_unfav == 0             # never when unfavorable
+def test_swap_always_accepts_at_equal_beta():
+    """Equal temperatures: log alpha = 0, so every valid pair must swap
+    (log u < 0 a.s.) — the degenerate case that catches an inverted
+    acceptance inequality."""
+    betas = jnp.ones(4, jnp.float32)
+    lls = jnp.asarray([-10.0, 40.0, 7.0, -3.0])
+    for s in range(10):
+        perm, acc, parity = swap_permutation(jax.random.key(s), lls, betas)
+        p = np.asarray(perm)
+        assert not np.array_equal(p, np.arange(4))     # someone swapped
+        valid = np.ones(4, bool)
+        if int(parity) == 1:
+            valid[0] = valid[-1] = False
+        assert np.all((p != np.arange(4)) == valid)
 
 
-def test_suggest_ladder_feasibility():
-    betas, span = suggest_ladder(sd_ll=200.0, C=8, accept=0.3)
-    assert betas[-1] == 1.0 and np.all(np.diff(betas) > 0)
-    # sd(ll) = 200 forces tiny rung gaps: the 8-rung ladder spans ~1% of
-    # the unit interval — the feasibility wall the config-5 study measures
-    assert span < 0.1, span
-    betas2, span2 = suggest_ladder(sd_ll=2.0, C=8, accept=0.3)
-    assert span2 > 1.0
+def test_suggest_ladder_shape_and_monotone():
+    betas, span = suggest_ladder(2000.0, 8, accept=0.3)
+    assert betas.shape == (8,) and betas[-1] == 1.0
+    assert np.all(np.diff(betas) > 0)
+    d = np.diff(betas)
+    assert np.allclose(d, d[0])
+    assert span == pytest.approx(d[0] * 7)
 
 
-def test_tempered_ladder_sweeps_run():
-    """A 3-rung ladder on a latent-distance spike-and-slab model: sweeps
-    produce finite untempered lls for every rung and swap diagnostics."""
-    N, T = 8, 256
-    model = pt.NonlinearAutoregressiveModel(
-        N, B=2, L=4, observation="bernoulli", network="latent_distance",
-        spike_and_slab=True, seed=0, net_kwargs=dict(dim=2, mu_bias=-1.5))
-    model.generate(T, keep=True)
-    betas = [0.5, 0.8, 1.0]
-    sweep = jax.jit(make_tempered_sweep(
-        model.observation, model.network, N, model.B, betas,
-        spike_slab=True, precision="highest"))
-    st = init_tempered_states(model, betas)
-    key = jax.random.key(0)
-    accs = []
-    for i in range(6):
-        key, k = jax.random.split(key)
-        st, diag = sweep(k, st, tuple(model.datas))
-        assert np.all(np.isfinite(np.asarray(diag["log_likelihood"])))
-        accs.append(np.asarray(diag["swap_accept"]))
-    assert st.A.shape == (3, N, N)
-    accs = np.stack(accs)
-    assert np.all((accs == 0) | (accs == 1))
+def test_fit_tempered_contract():
+    """Shape/diagnostic contract at an explicit ladder (no pilot)."""
+    true = _make_model(seed=42)
+    Y = true.generate(600, keep=False)
+    m = _make_model(seed=0)
+    m.add_data(Y)
+    betas = np.linspace(0.97, 1.0, 4)
+    out = m.fit_tempered(n_samples=30, n_burnin=20, betas=betas)
+    assert out["A"].shape == (30, 6, 6)
+    assert out["W"].shape == (30, 6, 6, 2)
+    assert out["bias"].shape == (30, 6)
+    assert out["lls"].shape == (30,)
+    assert np.isfinite(out["lls"]).all()
+    assert np.allclose(out["betas"], betas)
+    # per-attempt rates: in [0, 1] up to end-rung parity MC noise
+    assert out["swap_rate"].shape == (4,)
+    assert np.all(out["swap_rate"] >= 0) and np.all(out["swap_rate"] < 1.5)
+    # a 0.01-gap ladder at this tiny model's sd(ll) accepts often
+    assert out["swap_rate"][1:-1].mean() > 0.05, out["swap_rate"]
+
+
+def test_fit_tempered_requires_bernoulli():
+    m = pt.NonlinearAutoregressiveModel(
+        4, B=2, L=5, observation="negative_binomial",
+        network="erdos_renyi", spike_and_slab=True, seed=0,
+        net_kwargs=dict(rho_init=0.2, learn_rho=False, mu_bias=-2.5,
+                        sigma_bias=0.1, sigma_w=0.05,
+                        learn_weight_prior=False))
+    m.generate(200, keep=True)
+    with pytest.raises(AssertionError):
+        m.fit_tempered(n_samples=4, betas=np.asarray([0.99, 1.0]))
 
 
 @pytest.mark.slow
-def test_tempered_cold_chain_matches_plain_chain():
-    """With a flat ladder (all betas = 1) every rung is the exact sampler
-    and swaps always accept (log alpha = 0): the cold rung's posterior must
-    match a plain single-chain run on the same data — validates that the
-    tempered PG path (PG(beta=1, psi) via the gamma-series kernel) and the
-    swap plumbing leave the stationary distribution intact."""
-    N, T, S, BURN = 8, 512, 300, 100
-    true = pt.SparseBernoulliGLM(
-        N, B=2, L=4, seed=3,
-        net_kwargs=dict(rho_init=0.3, learn_rho=False, sigma_w=1.0,
-                        mu_bias=-1.0, learn_weight_prior=False))
-    Y = true.generate(T, keep=False)
-
-    # plain chain
-    m = pt.SparseBernoulliGLM(
-        N, B=2, L=4, seed=11,
-        net_kwargs=dict(rho_init=0.3, learn_rho=False, sigma_w=1.0,
-                        mu_bias=-1.0, learn_weight_prior=False))
+def test_tempered_cold_chain_matches_untempered():
+    """Statistical exactness of the cold rung: posterior edge-inclusion,
+    bias, and LL functionals from fit_tempered must agree with the plain
+    chain within pooled-MC tolerance (same protocol as the ensemble
+    parity test). The pilot-ladder path (betas=None) is exercised here."""
+    true = _make_model(seed=7)
+    Y = true.generate(800, keep=False)
+    m = _make_model(seed=0)
     m.add_data(Y)
-    A1 = np.zeros((N, N)); b1 = 0.0; n1 = 0
-    for i in range(S):
-        m.resample_model()
-        if i >= BURN:
-            A1 += m.A; b1 += m.bias.mean(); n1 += 1
-    A1 /= n1; b1 /= n1
-
-    # 2-rung flat ladder, cold chain = rung 1
-    betas = [1.0, 1.0]
-    sweep = jax.jit(make_tempered_sweep(
-        m.observation, m.network, N, m.B, betas, spike_slab=True,
-        precision="highest"))
-    st = init_tempered_states(m, betas)
-    key = jax.random.key(42)
-    A2 = np.zeros((N, N)); b2 = 0.0; n2 = 0
-    for i in range(S):
-        key, k = jax.random.split(key)
-        st, diag = sweep(k, st, tuple(m.datas))
-        if i >= BURN:
-            A2 += np.asarray(st.A[1]); b2 += float(np.mean(st.b[1])); n2 += 1
-    A2 /= n2; b2 /= n2
-
-    assert abs(A1.mean() - A2.mean()) < 0.05, (A1.mean(), A2.mean())
-    assert np.abs(A1 - A2).mean() < 0.12, np.abs(A1 - A2).mean()
-    assert abs(b1 - b2) < 0.3, (b1, b2)
+    plain = m.fit_ensemble(n_chains=4, n_samples=150, n_burnin=60)
+    tmp = m.fit_tempered(n_samples=600, n_burnin=60, n_rungs=4,
+                         pilot_sweeps=100)
+    A_p = plain["A"].reshape(-1, 6, 6).mean(0)
+    A_t = tmp["A"].mean(0)
+    b_p = plain["bias"].reshape(-1, 6).mean(0)
+    b_t = tmp["bias"].mean(0)
+    assert np.max(np.abs(A_p - A_t)) < 0.22, (A_p, A_t)
+    assert abs(A_p.mean() - A_t.mean()) < 0.08
+    assert np.max(np.abs(b_p - b_t)) < 0.35, (b_p, b_t)
+    ll_p, ll_t = plain["lls"].mean(), tmp["lls"].mean()
+    assert abs(ll_p - ll_t) / abs(ll_p) < 0.02
+    assert np.all(tmp["swap_rate"] >= 0)
