@@ -1,9 +1,11 @@
-"""Offline KS study: gamma-series truncation K=8 vs the exact native
-oracle (integer b) and vs K=128 (fractional b). Supports the K=16 -> 8
-kernel-cost reduction for the NB path (ROADMAP round-4 item 4).
+"""Offline KS study: gamma-series truncation K vs the exact native
+oracle (integer b) and vs K=128 (fractional b). Supported the K=16 -> 8
+kernel-cost reduction for the NB path (r3) and the 8 -> 4 trim enabled by
+the 3-moment shifted-gamma tail (r4).
 
-Run on CPU: python benchmarks/k8_study.py
+Run on CPU: python benchmarks/k8_study.py [--K 4,8]
 """
+import argparse
 import os
 import sys
 
@@ -32,6 +34,12 @@ def main():
     import math
     import time
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--K", default="8,16",
+                    help="comma list of truncation levels to test")
+    args = ap.parse_args()
+    Ks = tuple(int(k) for k in args.K.split(","))
+
     assert native_available()
     # Two-sample KS threshold at alpha=1e-4, n=m=200k.
     thr = math.sqrt(-0.5 * math.log(1e-4 / 2.0)) * math.sqrt(2.0 / N)
@@ -52,7 +60,7 @@ def main():
                 np.full(N, float(b)), np.full(N, float(c)), seed=b * 100 + 7)
             t_nat = time.time() - t0
             t_ours = {}
-            for K in (8, 16):
+            for K in Ks:
                 key, k2 = jax.random.split(key)
                 t0 = time.time()
                 ours = jax.block_until_ready(pg_gamma_series(
@@ -60,16 +68,15 @@ def main():
                     K=K))
                 t_ours[K] = time.time() - t0
                 row(b, c, K, ks(ours, nat))
-            print(f"    [native {t_nat:.1f}s, series "
-                  f"K8 {t_ours[8]:.1f}s / K16 {t_ours[16]:.1f}s]",
-                  flush=True)
+            tstr = " / ".join(f"K{K} {t_ours[K]:.1f}s" for K in Ks)
+            print(f"    [native {t_nat:.1f}s, series {tstr}]", flush=True)
     # Fractional b: K vs K=128 self-comparison.
     for b in [0.3, 0.7, 1.5, 4.2]:
         for c in [0.0, 1.5, 6.0]:
             key, kref = jax.random.split(key)
             ref = pg_gamma_series(
                 kref, jnp.full((N,), b), jnp.full((N,), c), K=128)
-            for K in (8, 16):
+            for K in Ks:
                 key, k2 = jax.random.split(key)
                 ours = pg_gamma_series(
                     k2, jnp.full((N,), b), jnp.full((N,), c), K=K)

@@ -425,14 +425,18 @@ def _pg_gamma_draw_small(key, b, c):
 # Gamma-series PG(b, c) kernel (general real b — the NB path's hot loop)
 # ---------------------------------------------------------------------------
 
-_GAMMA_K = 8        # series terms drawn in-kernel; KS-indistinguishable
+_GAMMA_K = 4        # series terms drawn in-kernel; KS-indistinguishable
                     # from K=128 AND from the exact native b-fold Devroye
                     # convolution at n=200k across b in {1..130} x c in
-                    # {0, 1.5, 6, 30} (benchmarks/k8_study.py; gated by
-                    # tests/test_polyagamma.py) — the moment-matched tail
-                    # absorbs terms k>8 (tail variance share 6.5e-5; its
-                    # 2-moment gamma match leaves a 1.8x third-cumulant
-                    # mismatch on that share, invisible at n=200k KS)
+                    # {0, 1.5, 6, 30} (benchmarks/k8_study.py --K 4,6;
+                    # gated by tests/test_polyagamma.py and the on-chip
+                    # suite) — the tail match absorbs terms k>K. What
+                    # made K=4 (r3 shipped 8) safe is the THREE-moment
+                    # shifted-gamma tail: at K=4 the tail's variance share
+                    # is ~5e-4 and a 2-moment match's third-cumulant
+                    # mismatch would surface at n=200k; matching mu3 (and
+                    # the Euler-Maclaurin-corrected S1..S3 sums) keeps the
+                    # whole grid at KS < 0.006 vs thr 0.00704
 _GAMMA_R = 2        # Marsaglia-Tsang rounds per series pair-draw. With the
                     # shared proposal stream inside each pair (see
                     # series_pair) a pair fails only when fewer than 2 of

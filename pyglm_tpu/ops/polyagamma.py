@@ -283,7 +283,7 @@ def _tail_sums(a, K):
 
 
 @partial(jax.jit, static_argnames=("K",))
-def pg_gamma_series(key, b, c, K: int = 8):
+def pg_gamma_series(key, b, c, K: int = 4):
     """PG(b, c) for arbitrary real b > 0 via truncated gamma series.
 
     PG(b,c) = (1/(2 pi^2)) sum_{k>=1} g_k / ((k-1/2)^2 + c^2/(4 pi^2)).
@@ -408,7 +408,7 @@ _NORMAL_CUTOFF = 170.0
 
 
 @partial(jax.jit, static_argnames=("method", "K"))
-def polya_gamma(key, b, c, method: str = "auto", K: int = 8):
+def polya_gamma(key, b, c, method: str = "auto", K: int = 4):
     """Hybrid PG(b, c) sampler — analog of ``pgdrawv``/``pgdrawvpar``.
 
     method:

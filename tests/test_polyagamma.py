@@ -98,15 +98,18 @@ def test_devroye_vs_gamma_series_ks():
 # Exactness of the gamma-series sampler in the reference's Alternate (1<b<13)
 # and Saddlepoint (13<b<170) regimes, where the reference uses exact
 # rejection samplers (pypolyagamma/cpp/PolyaGammaAlt.cpp, PolyaGammaSP.cpp)
-# and we use a K=8 truncated gamma series with a moment-matched tail.
-# Oracle: the in-tree native exact b-fold Devroye convolution
-# (native/pg_sampler.cpp::pg_int_b_vec). Measured at K=8 (2026-08-17,
-# benchmarks/k8_study.py, n=200k per regime): KS passes the alpha=1e-4
-# threshold across b in {1,2,3,5,13,20,40,80,130} x c in {0,1.5,6,30};
-# K=8 vs K=128 is likewise indistinguishable for fractional b, so the
-# truncation bias is bounded well below Monte-Carlo noise at Gibbs-sweep
-# sample sizes. (K was 16 through round 2; 8 halves the NB hot kernel's
-# in-kernel series cost at unchanged statistical gates.)
+# and we use a truncated gamma series (default K=4) with a 3-moment
+# shifted-gamma tail match. Oracle: the in-tree native exact b-fold
+# Devroye convolution (native/pg_sampler.cpp::pg_int_b_vec). Measured at
+# K in {4,6,8} (benchmarks/k8_study.py --K ..., n=200k per regime): KS
+# passes the alpha=1e-4 threshold across b in {1,2,3,5,13,20,40,80,130}
+# x c in {0,1.5,6,30}; default-K vs K=128 is likewise indistinguishable
+# for fractional b, so the truncation bias is bounded well below
+# Monte-Carlo noise at Gibbs-sweep sample sizes. (K was 16 in round 2
+# and 8 in round 3; the r4 3-moment tail match is what makes K=4 hold
+# at unchanged statistical gates, halving the NB hot kernel's in-kernel
+# series cost again.) These tests run at the library default K, so a
+# future K change re-gates automatically.
 # ---------------------------------------------------------------------------
 
 from pyglm_tpu.native import native_available, pg_int_b_native  # noqa: E402
@@ -169,7 +172,7 @@ def test_gamma_series_saddlepoint_regime_ks_grid(b, c):
 @needs_native
 @pytest.mark.slow
 def test_gamma_series_truncation_defaultK_vs_K128():
-    """Default-K (8) vs K=128 truncation comparison (VERDICT r1 #2): the two
+    """Default-K vs K=128 truncation comparison (VERDICT r1 #2): the two
     must be KS-indistinguishable, bounding the tail-moment-matching bias."""
     from pyglm_tpu.diagnostics.geweke import ks_two_sample
     n = 100_000
