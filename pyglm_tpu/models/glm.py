@@ -462,10 +462,12 @@ class NonlinearAutoregressiveModel:
         AUC (BASELINE.md config-5, round 4); wide ladders at practical C
         freeze (swap rate ≈ 0) on these posteriors.
 
-        Bernoulli observations only: the β-power likelihood stays in the
-        PG family (ω ~ PG(β, ψ), κ = β(y−½)), so every rung's conditional
-        remains exact. Reference analog: none (SURVEY.md §3.5 — the
-        reference leaves multi-chain strategies to the user).
+        Supported for every observation family whose β-power likelihood
+        stays PG-conjugate with fixed likelihood auxiliaries: Bernoulli
+        and Binomial always (ω ~ PG(β·b, ψ), κ → βκ), NegativeBinomial
+        with ``resample_r=False``, Gaussian with ``resample_eta=False``
+        (precision scales by β). Reference analog: none (SURVEY.md §3.5 —
+        the reference leaves multi-chain strategies to the user).
         """
         from pyglm_tpu.models.tempering import (init_tempered_states,
                                                 make_tempered_sweep,

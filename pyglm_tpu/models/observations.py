@@ -53,6 +53,26 @@ class _FamilyBase:
         sum(log_likelihood(Y, psi, aux)) up to fp summation order."""
         return jnp.sum(self.log_likelihood(Y, psi, aux))
 
+    def tempering_blocker(self):
+        """None if the family supports exact power-posterior tempering
+        with its current flags, else a human-readable reason. A family
+        tempers exactly when the beta-power likelihood stays inside the
+        PG-conjugate form AND no likelihood-side auxiliary (NB r, Gaussian
+        eta) is being resampled — those auxiliaries' conjugate updates
+        assume the untempered likelihood."""
+        return None
+
+    def tempered_omega_kappa(self, key, Y, psi, aux, beta):
+        """(omega, kappa) targeting the beta-POWER likelihood L^beta.
+
+        For every logit family the power stays in the PG family with the
+        shape scaled linearly — L(psi)^beta = e^{beta*kappa*psi} /
+        cosh-form with b -> beta*b — so omega ~ PG(beta*b, psi) and
+        kappa -> beta*kappa; for Gaussian the precision scales. ``beta``
+        is a per-lane (N,) vector (a tempering ladder stacked on postsyn
+        lanes, models/tempering.py)."""
+        raise NotImplementedError
+
 
 @dataclass(frozen=True)
 class Bernoulli(_FamilyBase):
@@ -70,6 +90,12 @@ class Bernoulli(_FamilyBase):
     def omega_kappa(self, key, Y, psi, aux):
         omega = pg_draw_unit(key, psi)
         kappa = Y - 0.5
+        return omega, kappa
+
+    def tempered_omega_kappa(self, key, Y, psi, aux, beta):
+        b = jnp.broadcast_to(beta[None, :], psi.shape)
+        omega = polya_gamma(key, b, psi, method="real")  # fractional shape
+        kappa = beta[None, :] * (Y - 0.5)
         return omega, kappa
 
     def log_likelihood(self, Y, psi, aux):
@@ -99,6 +125,12 @@ class Binomial(_FamilyBase):
         b = jnp.full_like(psi, float(self.n_trials))
         omega = polya_gamma(key, b, psi)
         kappa = Y - 0.5 * self.n_trials
+        return omega, kappa
+
+    def tempered_omega_kappa(self, key, Y, psi, aux, beta):
+        b = jnp.broadcast_to(float(self.n_trials) * beta[None, :], psi.shape)
+        omega = polya_gamma(key, b, psi, method="real")
+        kappa = beta[None, :] * (Y - 0.5 * self.n_trials)
         return omega, kappa
 
     def log_likelihood(self, Y, psi, aux):
@@ -156,6 +188,19 @@ class NegativeBinomial(_FamilyBase):
         # b = y + r is generically non-integer: skip the b==1 Devroye overlay
         omega = polya_gamma(key, b, psi, method="real")
         kappa = 0.5 * (Y - r)
+        return omega, kappa
+
+    def tempering_blocker(self):
+        if self.resample_r:
+            return ("NegativeBinomial with resample_r=True: the CRT r "
+                    "update assumes the untempered likelihood; construct "
+                    "with resample_r=False (fixed dispersion) to temper")
+        return None
+
+    def tempered_omega_kappa(self, key, Y, psi, aux, beta):
+        r = aux["r"][None, :]
+        omega = polya_gamma(key, beta[None, :] * (Y + r), psi, method="real")
+        kappa = beta[None, :] * 0.5 * (Y - r)
         return omega, kappa
 
     def log_likelihood(self, Y, psi, aux):
@@ -269,6 +314,19 @@ class Gaussian(_FamilyBase):
         omega = jnp.broadcast_to(inv_eta, Y.shape)
         kappa = Y * inv_eta
         return omega, kappa
+
+    def tempering_blocker(self):
+        if self.resample_eta:
+            return ("Gaussian with resample_eta=True: the inverse-gamma "
+                    "eta update assumes the untempered likelihood; "
+                    "construct with resample_eta=False to temper")
+        return None
+
+    def tempered_omega_kappa(self, key, Y, psi, aux, beta):
+        # N(y|psi, eta)^beta is Gaussian with precision beta/eta: omega and
+        # kappa scale deterministically (no PG draw on this family).
+        om, ka = self.omega_kappa(key, Y, psi, aux)
+        return beta[None, :] * om, beta[None, :] * ka
 
     def log_likelihood(self, Y, psi, aux):
         eta = aux["eta"][None, :]

@@ -5,11 +5,15 @@ sweep (models/ensemble.py): chain c sweeps the POWER posterior
 
     pi_c(theta) ∝ p(theta) * L(theta)^{beta_c},
 
-which for Bernoulli observations stays exactly in the PG family —
-p(y|psi)^beta = exp(beta*y*psi) / (1 + e^psi)^beta gives
-omega ~ PG(beta, psi), kappa = beta*(y - 1/2) — so the collapsed
+which stays exactly in the PG-conjugate family for EVERY observation
+layer here: the power scales the PG shape and kappa linearly (Bernoulli
+omega ~ PG(beta, psi), kappa = beta*(y-1/2); Binomial b -> beta*n; NB
+b -> beta*(y+r) at fixed r) and scales the Gaussian precision (beta/eta
+at fixed eta) — see observations.tempered_omega_kappa. The collapsed
 spike-and-slab machinery is unchanged per lane and the cold chain
-(beta = 1) is the standard exact sampler. Between sweeps, adjacent rungs
+(beta = 1) is the standard exact sampler. Likelihood-side auxiliaries
+(NB r, Gaussian eta) must be fixed: their conjugate updates assume the
+untempered likelihood (obs.tempering_blocker gates this). Between sweeps, adjacent rungs
 exchange their ENTIRE parameter state (A, W, b, aux, network state) by a
 Metropolis swap on the joint density: swapping theta_i <-> theta_j is
 accepted with probability
@@ -44,8 +48,6 @@ from pyglm_tpu.models.sweep import GLMState, init_state_from_prior
 from pyglm_tpu.models.weights import (EdgeHypers, _PRECISIONS, pack_weights,
                                       resample_spike_slab_tspace,
                                       sufficient_stats, unpack_weights)
-from pyglm_tpu.ops.polyagamma import polya_gamma
-from pyglm_tpu.utils.utils import softplus
 
 
 def swap_permutation(key, lls, betas):
@@ -98,12 +100,13 @@ def make_tempered_sweep(obs, network, N: int, B: int, betas,
                         precision: str = "high"):
     """Build the C-rung parallel-tempering sweep: (key, stacked_state,
     datas) -> (stacked_state, diag). Chain c targets the beta_c-power
-    posterior; rung C-1 (beta=1) is the exact cold chain. Bernoulli
-    observations only (the PG-exact power family used by the config-5
-    study; other families would need their own (beta*b, beta*kappa) maps).
-    """
-    assert getattr(obs, "name", None) == "bernoulli", (
-        "parallel tempering is implemented for Bernoulli observations")
+    posterior; rung C-1 (beta=1) is the exact cold chain. Supported for
+    every observation family whose beta-power likelihood stays in the
+    PG-conjugate form with fixed likelihood auxiliaries — Bernoulli and
+    Binomial always; NegativeBinomial/Gaussian with resample_r/
+    resample_eta off (obs.tempering_blocker explains refusals)."""
+    blocker = obs.tempering_blocker()
+    assert blocker is None, blocker
     betas = jnp.asarray(betas, jnp.float32)
     C = betas.shape[0]
     beta_lane = jnp.repeat(betas, N)            # (C*N,)
@@ -125,10 +128,13 @@ def make_tempered_sweep(obs, network, N: int, B: int, betas,
 
         psi = jnp.dot(Xf_cat, w_lane, preferred_element_type=jnp.float32,
                       precision=prec)
-        # tempered PG auxiliaries: omega ~ PG(beta, psi), kappa = beta*(y-1/2)
-        b_pg = jnp.broadcast_to(beta_lane[None, :], psi.shape)
-        omega = polya_gamma(k_pg, b_pg, psi, method="real")
-        kappa = beta_lane[None, :] * (Y_lane - 0.5)
+        aux_lane = jax.tree.map(
+            lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]),
+            st.aux)
+        # tempered auxiliaries targeting L^beta per lane, e.g. Bernoulli:
+        # omega ~ PG(beta, psi), kappa = beta*(y - 1/2)
+        omega, kappa = obs.tempered_omega_kappa(
+            k_pg, Y_lane, psi, aux_lane, beta_lane)
 
         if spike_slab:
             Xt_cat = (jnp.concatenate([d.Xt for d in datas], axis=1)
@@ -154,8 +160,10 @@ def make_tempered_sweep(obs, network, N: int, B: int, betas,
             jax.random.split(k_net, C), st.net, A, W)
         new_st = GLMState(A, W, b, st.aux, net)
 
-        # UNTEMPERED log-likelihood per chain (psi under the new weights)
-        ll_el = Y_lane * psi_cat - softplus(psi_cat)
+        # UNTEMPERED log-likelihood per chain (psi under the new weights);
+        # theta-independent normalizers are constant across rungs, so any
+        # family's log_likelihood works in the swap ratio as-is.
+        ll_el = obs.log_likelihood(Y_lane, psi_cat, aux_lane)
         lls = ll_el.reshape(T, C, N).sum(axis=(0, 2))
 
         # -- replica exchange: permute theta between rungs ----------------

@@ -85,16 +85,48 @@ def test_fit_tempered_contract():
     assert out["swap_rate"][1:-1].mean() > 0.05, out["swap_rate"]
 
 
-def test_fit_tempered_requires_bernoulli():
+_NB_NET = dict(rho_init=0.2, learn_rho=False, mu_bias=-2.5,
+               sigma_bias=0.1, sigma_w=0.05, learn_weight_prior=False)
+
+
+def test_fit_tempered_blocks_resampled_likelihood_aux():
+    """NB with resample_r=True (and Gaussian with resample_eta=True) must
+    refuse: the conjugate aux updates assume the untempered likelihood."""
     m = pt.NonlinearAutoregressiveModel(
         4, B=2, L=5, observation="negative_binomial",
         network="erdos_renyi", spike_and_slab=True, seed=0,
-        net_kwargs=dict(rho_init=0.2, learn_rho=False, mu_bias=-2.5,
-                        sigma_bias=0.1, sigma_w=0.05,
-                        learn_weight_prior=False))
+        net_kwargs=_NB_NET)
     m.generate(200, keep=True)
-    with pytest.raises(AssertionError):
+    with pytest.raises(AssertionError, match="resample_r"):
         m.fit_tempered(n_samples=4, betas=np.asarray([0.99, 1.0]))
+    g = pt.NonlinearAutoregressiveModel(
+        4, B=2, L=5, observation="gaussian", network="erdos_renyi",
+        spike_and_slab=True, seed=0, net_kwargs=_NB_NET)
+    g.generate(200, keep=True)
+    with pytest.raises(AssertionError, match="resample_eta"):
+        g.fit_tempered(n_samples=4, betas=np.asarray([0.99, 1.0]))
+
+
+@pytest.mark.parametrize("obs,okw", [
+    ("negative_binomial", dict(resample_r=False)),
+    ("binomial", dict(n_trials=3)),
+    ("gaussian", dict(resample_eta=False, eta_init=0.5)),
+])
+def test_fit_tempered_other_families(obs, okw):
+    """Power-posterior tempering for the non-Bernoulli families: the
+    beta-power likelihood stays PG-conjugate (shape/precision scales), so
+    the tempered sweep must run and swap at a tight ladder."""
+    m = pt.NonlinearAutoregressiveModel(
+        5, B=2, L=5, observation=obs, network="erdos_renyi",
+        spike_and_slab=True, seed=0, obs_kwargs=okw, net_kwargs=_NB_NET)
+    m.generate(300, keep=True)
+    out = m.fit_tempered(n_samples=10, n_burnin=5,
+                         betas=np.linspace(0.99, 1.0, 3))
+    assert out["A"].shape == (10, 5, 5)
+    assert np.isfinite(out["lls"]).all()
+    assert np.all(out["swap_rate"] >= 0)
+    # a 0.005-gap ladder swaps readily on 300 obs
+    assert out["swap_rate"].mean() > 0.05, out["swap_rate"]
 
 
 @pytest.mark.slow
