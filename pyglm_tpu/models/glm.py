@@ -458,9 +458,17 @@ class NonlinearAutoregressiveModel:
         (tempering.suggest_ladder). The resulting span 1 − β_1 is narrow
         when sd(ll) is large (Δβ ≈ 2 erfc⁻¹(accept)/sd(ll)) — that is the
         ladder the config-5 study measured to cut τ_int of the
-        latent-distance position panel ~6× and lift matched-budget link
-        AUC (BASELINE.md config-5, round 4); wide ladders at practical C
-        freeze (swap rate ≈ 0) on these posteriors.
+        latent-distance position panel 6.5× and lift matched-budget link
+        AUC +0.037 over the single chain (BASELINE.md config-5, round 4);
+        wide ladders at practical C freeze (swap rate ≈ 0).
+
+        When to prefer this over ``fit_ensemble``: tempering buys
+        PER-CHAIN mixing (one coherent exact chain with 6.5× lower τ) —
+        use it for joint trajectory functionals, suspected multimodality,
+        or τ-bound workflows. For pooled posterior-MEAN functionals on a
+        well-behaved posterior, ``fit_ensemble``'s C independent chains
+        pool to a better estimator at the same FLOPs (the study's
+        ensemble arm: AUC 0.875 vs 0.860 at matched budget).
 
         Supported for every observation family whose β-power likelihood
         stays PG-conjugate with fixed likelihood auxiliaries: Bernoulli
