@@ -13,8 +13,9 @@ Covers the headline config (Bernoulli observations, Erdős–Rényi
 spike-and-slab) and — since round 4 (VERDICT r3 item #6) — the
 negative-binomial count path: gamma-series PG(b, c) draws for non-integer
 b = y + r, the Chinese-restaurant-table dispersion augmentation, and the
-conjugate Gamma r update, all in f64 NumPy. Deliberately f64, like the
-reference.
+conjugate Gamma r update, plus the Gaussian identity-link path
+(deterministic omega = 1/eta, conjugate inverse-gamma noise update) —
+all in f64 NumPy. Deliberately f64, like the reference.
 """
 from __future__ import annotations
 
@@ -161,16 +162,19 @@ class NumpyGLMReference:
 
     def __init__(self, N, B, basis, rho=0.2, mu_w=0.0, sigma_w=1.0,
                  mu_b=-2.0, sigma_b=1.0, seed=0, observation="bernoulli",
-                 r_init=4.0, a_r=2.0, b_r=0.5, resample_r=True):
+                 r_init=4.0, a_r=2.0, b_r=0.5, resample_r=True,
+                 eta_init=1.0, a_eta=2.0, b_eta=1.0, resample_eta=True):
         self.N, self.B = N, B
         self.basis = np.asarray(basis, np.float64)
         self.rho, self.mu_w, self.sigma_w = rho, mu_w, sigma_w
         self.mu_b, self.sigma_b = mu_b, sigma_b
         self.observation = observation
-        assert observation in ("bernoulli", "negative_binomial")
+        assert observation in ("bernoulli", "negative_binomial", "gaussian")
         self.a_r, self.b_r, self.resample_r = a_r, b_r, resample_r
+        self.a_eta, self.b_eta, self.resample_eta = a_eta, b_eta, resample_eta
         self.rng = np.random.RandomState(seed)
         self.r = np.full(N, float(r_init))
+        self.eta = np.full(N, float(eta_init))
         self.A = (self.rng.rand(N, N) < rho).astype(np.float64)
         self.W = self.rng.randn(N, N, B) * np.sqrt(sigma_w) * self.A[:, :, None]
         self.b = mu_b + np.sqrt(sigma_b) * self.rng.randn(N)
@@ -192,18 +196,29 @@ class NumpyGLMReference:
             [(self.A[:, :, None] * self.W).transpose(0, 2, 1).reshape(N * B, N),
              self.b[None, :]], axis=0)
         nb = self.observation == "negative_binomial"
-        kappa = 0.5 * (Y - self.r[None, :]) if nb else Y - 0.5
+        gauss = self.observation == "gaussian"
+        if nb:
+            kappa = 0.5 * (Y - self.r[None, :])
+        elif gauss:
+            # identity link: omega = 1/eta_n deterministic, kappa = y/eta_n
+            # (models/observations.py Gaussian.omega_kappa analog).
+            kappa = Y / self.eta[None, :]
+        else:
+            kappa = Y - 0.5
         Lam0 = np.eye(B) / self.sigma_w
         mu0 = np.full(B, self.mu_w)
         logit_rho = np.log(self.rho / (1 - self.rho))
         ld0 = 0.5 * np.linalg.slogdet(Lam0)[1]
         for n in range(N):                       # per-neuron loop (reference style)
-            psi = Xf @ w_full[:, n]
-            if nb:
-                omega = numpy_pg_gamma_series(
-                    self.rng, Y[:, n] + self.r[n], psi)
+            if gauss:
+                omega = np.full(Y.shape[0], 1.0 / self.eta[n])
             else:
-                omega = numpy_pg_devroye(self.rng, psi)
+                psi = Xf @ w_full[:, n]
+                if nb:
+                    omega = numpy_pg_gamma_series(
+                        self.rng, Y[:, n] + self.r[n], psi)
+                else:
+                    omega = numpy_pg_devroye(self.rng, psi)
             J = (Xf * omega[:, None]).T @ Xf     # (P, P)
             h = Xf.T @ kappa[:, n]
             w = w_full[:, n].copy()
@@ -243,6 +258,15 @@ class NumpyGLMReference:
             shape = self.a_r + l.sum(axis=0)
             rate = self.b_r + np.logaddexp(0.0, psi).sum(axis=0)
             self.r = np.maximum(self.rng.standard_gamma(shape) / rate, 1e-3)
+        if gauss and self.resample_eta:
+            # eta_n | rest ~ InvGamma(a + T/2, b + 0.5 sum_t (y - psi)^2),
+            # evaluated at psi under the NEW weights, like the JAX sweep
+            # (models/observations.py Gaussian.resample_aux).
+            psi = Xf @ w_full
+            alpha = self.a_eta + 0.5 * Y.shape[0]
+            beta = self.b_eta + 0.5 * np.sum((Y - psi) ** 2, axis=0)
+            self.eta = np.maximum(
+                beta / self.rng.standard_gamma(alpha, size=self.N), 1e-6)
 
     def log_likelihood(self, Y, Xf):
         N, B = self.N, self.B
@@ -250,6 +274,10 @@ class NumpyGLMReference:
             [(self.A[:, :, None] * self.W).transpose(0, 2, 1).reshape(N * B, N),
              self.b[None, :]], axis=0)
         psi = Xf @ w_full
+        if self.observation == "gaussian":
+            return float(np.sum(
+                -0.5 * np.log(2.0 * np.pi * self.eta[None, :])
+                - 0.5 * (Y - psi) ** 2 / self.eta[None, :]))
         if self.observation == "negative_binomial":
             from scipy.special import gammaln
             r = self.r[None, :]
