@@ -16,6 +16,13 @@ b = y + r, the Chinese-restaurant-table dispersion augmentation, and the
 conjugate Gamma r update, plus the Gaussian identity-link path
 (deterministic omega = 1/eta, conjugate inverse-gamma noise update) —
 all in f64 NumPy. Deliberately f64, like the reference.
+
+Network priors: Erdős–Rényi (fixed rho) and — round 4, deepening VERDICT
+r3 weak #5 to the structured-prior side — the stochastic block model
+(sequential-Gibbs label scan, Dirichlet pi, per-block-pair Beta rho and
+NIW weight priors; pyglm/networks.py SBM analog), so the block-structured
+per-edge spike-and-slab conditionals get an independent implementation
+check beyond the Geweke suite.
 """
 from __future__ import annotations
 
@@ -163,13 +170,17 @@ class NumpyGLMReference:
     def __init__(self, N, B, basis, rho=0.2, mu_w=0.0, sigma_w=1.0,
                  mu_b=-2.0, sigma_b=1.0, seed=0, observation="bernoulli",
                  r_init=4.0, a_r=2.0, b_r=0.5, resample_r=True,
-                 eta_init=1.0, a_eta=2.0, b_eta=1.0, resample_eta=True):
+                 eta_init=1.0, a_eta=2.0, b_eta=1.0, resample_eta=True,
+                 network="er", K=2, alpha_pi=1.0, a_rho=1.0, b_rho=1.0,
+                 niw_mu0=0.0, niw_kappa0=1.0, niw_nu0=None, niw_psi0=1.0):
         self.N, self.B = N, B
         self.basis = np.asarray(basis, np.float64)
         self.rho, self.mu_w, self.sigma_w = rho, mu_w, sigma_w
         self.mu_b, self.sigma_b = mu_b, sigma_b
         self.observation = observation
         assert observation in ("bernoulli", "negative_binomial", "gaussian")
+        assert network in ("er", "sbm")
+        self.network = network
         self.a_r, self.b_r, self.resample_r = a_r, b_r, resample_r
         self.a_eta, self.b_eta, self.resample_eta = a_eta, b_eta, resample_eta
         self.rng = np.random.RandomState(seed)
@@ -178,6 +189,22 @@ class NumpyGLMReference:
         self.A = (self.rng.rand(N, N) < rho).astype(np.float64)
         self.W = self.rng.randn(N, N, B) * np.sqrt(sigma_w) * self.A[:, :, None]
         self.b = mu_b + np.sqrt(sigma_b) * self.rng.randn(N)
+        if network == "sbm":
+            # SBM state, mirroring networks.py SBMConfig.init_state: random
+            # labels, uniform pi, rho_init = rho, zero block means, sigma_w*I
+            # block covariances; NIW prior (mu0, kappa0, nu0 = B+2, psi0*I).
+            self.K = K
+            self.alpha_pi, self.a_rho, self.b_rho = alpha_pi, a_rho, b_rho
+            self.niw_mu0 = np.full(B, float(niw_mu0))
+            self.niw_kappa0 = float(niw_kappa0)
+            self.niw_nu0 = float(niw_nu0 if niw_nu0 is not None else B + 2)
+            self.niw_psi0 = np.eye(B) * float(niw_psi0)
+            self.c = self.rng.randint(0, K, size=N)
+            self.pi = np.full(K, 1.0 / K)
+            self.rho_blk = np.full((K, K), float(rho))
+            self.mu_blk = np.zeros((K, K, B))
+            self.Sigma_blk = np.broadcast_to(
+                np.eye(B) * sigma_w, (K, K, B, B)).copy()
 
     def design(self, Y):
         T, N = Y.shape
@@ -205,10 +232,21 @@ class NumpyGLMReference:
             kappa = Y / self.eta[None, :]
         else:
             kappa = Y - 0.5
-        Lam0 = np.eye(B) / self.sigma_w
-        mu0 = np.full(B, self.mu_w)
-        logit_rho = np.log(self.rho / (1 - self.rho))
-        ld0 = 0.5 * np.linalg.slogdet(Lam0)[1]
+        if self.network == "sbm":
+            # Per-edge slab/spike hypers from the block state: edge j -> n
+            # carries blocks (c_j, c_n) (networks.py SBMConfig.edge_hypers).
+            Lam_blk = np.linalg.inv(self.Sigma_blk)          # (K, K, B, B)
+            ld_blk = 0.5 * np.linalg.slogdet(Lam_blk)[1]     # (K, K)
+            rho_c = np.clip(self.rho_blk, 1e-5, 1 - 1e-5)
+            lrho_blk = np.log(rho_c) - np.log1p(-rho_c)
+            ce = (self.c[:, None], self.c[None, :])
+            Lam_e, mu_e = Lam_blk[ce], self.mu_blk[ce]       # (N,N,B,B/B)
+            lrho_e, ld_e = lrho_blk[ce], ld_blk[ce]          # (N, N)
+        else:
+            Lam0 = np.eye(B) / self.sigma_w
+            mu0 = np.full(B, self.mu_w)
+            logit_rho = np.log(self.rho / (1 - self.rho))
+            ld0 = 0.5 * np.linalg.slogdet(Lam0)[1]
         for n in range(N):                       # per-neuron loop (reference style)
             if gauss:
                 omega = np.full(Y.shape[0], 1.0 / self.eta[n])
@@ -224,6 +262,9 @@ class NumpyGLMReference:
             w = w_full[:, n].copy()
             r = J @ w
             for j in range(N):                   # sequential spike-and-slab
+                if self.network == "sbm":
+                    Lam0, mu0 = Lam_e[j, n], mu_e[j, n]
+                    logit_rho, ld0 = lrho_e[j, n], ld_e[j, n]
                 sl = slice(j * B, (j + 1) * B)
                 Jjj = J[sl, sl]
                 mj = h[sl] - (r[sl] - Jjj @ w[sl])
@@ -267,6 +308,74 @@ class NumpyGLMReference:
             beta = self.b_eta + 0.5 * np.sum((Y - psi) ** 2, axis=0)
             self.eta = np.maximum(
                 beta / self.rng.standard_gamma(alpha, size=self.N), 1e-6)
+        if self.network == "sbm":
+            self._resample_sbm()
+
+    def _resample_sbm(self):
+        """SBM block-state conditionals given (A, W): sequential-Gibbs label
+        scan over precomputed edge log-lik tables, Dirichlet pi, per-pair
+        Beta rho, per-pair NIW weight hypers (networks.py SBMConfig.resample
+        analog; f64 NumPy + scipy invwishart)."""
+        N, B, K = self.N, self.B, self.K
+        A, W = self.A, self.W
+        # tbl[k1, k2, i, j] = log Bern(A_ij; rho[k1,k2])
+        #                     + A_ij log N(W_ij; mu[k1,k2], Sigma[k1,k2]),
+        # fixed during the label scan (block hypers don't change within it).
+        rho = np.clip(self.rho_blk, 1e-5, 1 - 1e-5)
+        logB = (A[None, None] * np.log(rho)[:, :, None, None]
+                + (1 - A)[None, None] * np.log1p(-rho)[:, :, None, None])
+        Lam = np.linalg.inv(self.Sigma_blk)                   # (K,K,B,B)
+        logdet = np.linalg.slogdet(self.Sigma_blk)[1]         # (K,K)
+        d = W[None, None] - self.mu_blk[:, :, None, None]     # (K,K,N,N,B)
+        quad = np.einsum("xyijb,xybc,xyijc->xyij", d, Lam, d)
+        logN = -0.5 * (quad + logdet[:, :, None, None]
+                       + B * np.log(2.0 * np.pi))
+        tbl = logB + A[None, None] * logN
+
+        # --- labels: sequential Gibbs (self-edge n->n carries the candidate
+        # label on BOTH ends: excluded from the out/in sums, added once) ---
+        c = self.c.copy()
+        idx = np.arange(N)
+        for n in range(N):
+            logits = np.log(self.pi + 1e-12).copy()
+            for x in range(K):
+                out = tbl[x, c, n, idx]                       # (m,) n -> m
+                inc = tbl[c, x, idx, n]                       # (m,) m -> n
+                logits[x] += (out.sum() - out[n] + inc.sum() - inc[n]
+                              + tbl[x, x, n, n])
+            p = np.exp(logits - logits.max())
+            c[n] = self.rng.choice(K, p=p / p.sum())
+        self.c = c
+
+        # --- conjugate block hypers ---------------------------------------
+        onehot = np.eye(K)[c]                                 # (N, K)
+        self.pi = self.rng.dirichlet(self.alpha_pi + onehot.sum(0))
+        pair = np.einsum("ix,jy->xyij", onehot, onehot)       # (K,K,N,N)
+        n_pair = pair.sum((2, 3))
+        n_act = np.einsum("xyij,ij->xy", pair, A)
+        self.rho_blk = self.rng.beta(self.a_rho + n_act,
+                                     self.b_rho + n_pair - n_act)
+        from scipy.stats import invwishart
+        mask = pair * A[None, None]
+        for x in range(K):
+            for y in range(K):
+                m = mask[x, y]
+                n = m.sum()
+                xbar = (np.einsum("ij,ijb->b", m, W) / n if n > 0
+                        else self.niw_mu0.copy())
+                dd = (W - xbar) * m[:, :, None]
+                S = np.einsum("ijb,ijc->bc", dd, dd)
+                kap_n = self.niw_kappa0 + n
+                dv = (xbar - self.niw_mu0)[:, None]
+                Psi_n = (self.niw_psi0 + S
+                         + (self.niw_kappa0 * n / kap_n) * (dv @ dv.T))
+                Sig = np.atleast_2d(invwishart.rvs(
+                    df=self.niw_nu0 + n, scale=Psi_n, random_state=self.rng))
+                self.Sigma_blk[x, y] = Sig
+                L = np.linalg.cholesky(Sig / kap_n)
+                self.mu_blk[x, y] = (
+                    (self.niw_kappa0 * self.niw_mu0 + n * xbar) / kap_n
+                    + L @ self.rng.randn(B))
 
     def log_likelihood(self, Y, Xf):
         N, B = self.N, self.B

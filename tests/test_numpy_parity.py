@@ -209,3 +209,95 @@ def test_posterior_means_match_numpy_reference_gaussian():
     # noise posterior agrees per neuron and concentrates near eta_true
     assert np.max(np.abs(e1 - e2) / e2) < 0.2, (e1, e2)
     assert np.all(e1 < 4 * eta_true) and np.all(e1 > eta_true / 4), e1
+
+
+@pytest.mark.slow
+def test_posterior_means_match_numpy_reference_sbm():
+    """Structured-prior path (round 4, deepening VERDICT r3 weak #5): the
+    stochastic block model — per-edge spike/slab hypers indexed by learned
+    block labels, sequential-Gibbs label scan, Dirichlet pi, per-pair Beta
+    rho and NIW weight priors — against the independent f64 NumPy oracle.
+    All compared functionals are label-permutation invariant (per-edge A/W
+    posterior means, bias, edge density, MEAN of the rho block matrix)."""
+    N, B, L, T = 6, 2, 4, 1500
+    K, a_rho, b_rho, alpha_pi = 2, 1.0, 1.0, 1.0
+    mu_b, sigma_b, sigma_w = -1.0, 0.4, 0.5
+    basis = cosine_basis(B=B, L=L)
+
+    nk = dict(K=K, a_rho=a_rho, b_rho=b_rho, alpha_pi=alpha_pi,
+              sigma_w=sigma_w, niw_kappa0=1.0, niw_psi0=1.0,
+              mu_bias=mu_b, sigma_bias=sigma_b, rho_init=0.35)
+    gen = pt.NonlinearAutoregressiveModel(
+        N, basis=basis, observation="bernoulli", network="sbm",
+        spike_and_slab=True, seed=99, net_kwargs=nk)
+    Y = gen.generate(T, keep=False).astype(np.float64)
+
+    n_burn, n_keep = 200, 600
+
+    # --- TPU-native chains (two seeds, pooled; scanned driver — the eager
+    # per-sweep dispatch at this tiny shape costs ~100x the sweep) ---------
+    import jax
+    import jax.numpy as jnp
+    A1 = np.zeros((N, N)); W1 = np.zeros((N, N)); b1 = np.zeros(N)
+    rho1 = 0.0
+    seeds1 = (0, 1)
+    k = n_keep * len(seeds1)
+    for seed in seeds1:
+        model = pt.NonlinearAutoregressiveModel(
+            N, basis=basis, observation="bernoulli", network="sbm",
+            spike_and_slab=True, seed=seed, net_kwargs=nk)
+        model.add_data(Y)
+        sweep = model._sweep
+        datas = tuple(model.datas)
+
+        @jax.jit
+        def chain(state, kb, ka):
+            def step(s, kk):
+                return sweep(kk, s, datas)[0], None
+
+            state = jax.lax.scan(step, state, kb)[0]
+
+            def astep(carry, kk):
+                s, aA, aW, ab, ar = carry
+                s = sweep(kk, s, datas)[0]
+                return (s, aA + s.A,
+                        aW + jnp.sum(s.A[:, :, None] * s.W, -1),
+                        ab + s.b, ar + jnp.mean(s.net.rho)), None
+
+            z = jnp.zeros
+            carry = (state, z((N, N)), z((N, N)), z((N,)), 0.0)
+            return jax.lax.scan(astep, carry, ka)[0]
+
+        _, aA, aW, ab, ar = chain(
+            model.state, jax.random.split(model._next_key(), n_burn),
+            jax.random.split(model._next_key(), n_keep))
+        A1 += np.asarray(aA) / k
+        W1 += np.asarray(aW) / k
+        b1 += np.asarray(ab) / k
+        rho1 += float(ar) / k
+
+    # --- NumPy/f64 reference chains (two seeds, pooled) ------------------
+    A2 = np.zeros((N, N)); W2 = np.zeros((N, N)); b2 = np.zeros(N)
+    rho2 = 0.0
+    seeds2 = (7, 8)
+    k = n_keep * len(seeds2)
+    for seed in seeds2:
+        ref = NumpyGLMReference(
+            N=N, B=B, basis=basis, rho=0.35, sigma_w=sigma_w,
+            mu_b=mu_b, sigma_b=sigma_b, seed=seed, network="sbm",
+            K=K, alpha_pi=alpha_pi, a_rho=a_rho, b_rho=b_rho,
+            niw_kappa0=1.0, niw_psi0=1.0)
+        Xf = ref.design(Y)
+        for it in range(n_burn + n_keep):
+            ref.resample(Y, Xf)
+            if it >= n_burn:
+                A2 += ref.A / k
+                W2 += (ref.A[:, :, None] * ref.W).sum(-1) / k
+                b2 += ref.b / k
+                rho2 += float(ref.rho_blk.mean()) / k
+
+    assert np.max(np.abs(b1 - b2)) < 0.25, (b1, b2)
+    assert np.max(np.abs(A1 - A2)) < 0.25, np.max(np.abs(A1 - A2))
+    assert np.max(np.abs(W1 - W2)) < 0.35, np.max(np.abs(W1 - W2))
+    assert abs(A1.mean() - A2.mean()) < 0.06
+    assert abs(rho1 - rho2) < 0.12, (rho1, rho2)
