@@ -212,6 +212,101 @@ def test_posterior_means_match_numpy_reference_gaussian():
 
 
 @pytest.mark.slow
+def test_posterior_means_match_numpy_reference_binomial():
+    """Integer-b path (fifth oracle family, round 4): Binomial observations
+    — PG(n_trials, psi) auxiliaries — against the independent f64 NumPy
+    oracle, which draws the auxiliary as the EXACT n_trials-fold Devroye
+    convolution while the JAX side routes through the integer-b
+    gamma-series dispatch (ops/polyagamma.py), so the two samplers share
+    no PG code path at all.
+
+    Test design note: measured within-sampler seed spread on the per-edge
+    A marginals is ~0.2-0.3 on this posterior (boundary edges are sticky
+    in BOTH samplers), so each side pools two independent chains, the
+    tight asserts target fast-mixing functionals (bias, W means, edge
+    density), and the per-edge A bound is a loose sanity check sized
+    from the measured spread."""
+    N, B, L, T = 5, 2, 4, 1000
+    n_trials = 3
+    rho, sigma_w, mu_b, sigma_b = 0.35, 0.05, -1.5, 0.3
+    basis = cosine_basis(B=B, L=L)
+
+    nk = dict(rho_init=rho, learn_rho=False, mu_bias=mu_b,
+              sigma_bias=sigma_b, learn_weight_prior=False, sigma_w=sigma_w)
+    gen = pt.NonlinearAutoregressiveModel(
+        N, basis=basis, observation="binomial", network="erdos_renyi",
+        spike_and_slab=True, seed=77, obs_kwargs=dict(n_trials=n_trials),
+        net_kwargs=nk)
+    Y = gen.generate(T, keep=False).astype(np.float64)
+    assert Y.max() <= n_trials and Y.min() >= 0
+
+    n_burn, n_keep = 150, 400
+
+    # --- TPU-native chains (two seeds, pooled; scanned driver — eager
+    # per-sweep dispatch at this tiny shape costs ~100x the sweep) ---------
+    import jax
+    import jax.numpy as jnp
+    A1 = np.zeros((N, N)); W1 = np.zeros((N, N)); b1 = np.zeros(N)
+    seeds1 = (0, 1)
+    k = n_keep * len(seeds1)
+    for seed in seeds1:
+        model = pt.NonlinearAutoregressiveModel(
+            N, basis=basis, observation="binomial", network="erdos_renyi",
+            spike_and_slab=True, seed=seed,
+            obs_kwargs=dict(n_trials=n_trials), net_kwargs=nk)
+        model.add_data(Y)
+        sweep = model._sweep
+        datas = tuple(model.datas)
+
+        @jax.jit
+        def chain(state, kb, ka):
+            def step(s, kk):
+                return sweep(kk, s, datas)[0], None
+
+            state = jax.lax.scan(step, state, kb)[0]
+
+            def astep(carry, kk):
+                s, aA, aW, ab = carry
+                s = sweep(kk, s, datas)[0]
+                return (s, aA + s.A,
+                        aW + jnp.sum(s.A[:, :, None] * s.W, -1),
+                        ab + s.b), None
+
+            z = jnp.zeros
+            carry = (state, z((N, N)), z((N, N)), z((N,)))
+            return jax.lax.scan(astep, carry, ka)[0]
+
+        _, aA, aW, ab = chain(
+            model.state, jax.random.split(model._next_key(), n_burn),
+            jax.random.split(model._next_key(), n_keep))
+        A1 += np.asarray(aA) / k
+        W1 += np.asarray(aW) / k
+        b1 += np.asarray(ab) / k
+
+    # --- NumPy/f64 reference chains (two seeds, pooled) -------------------
+    A2 = np.zeros((N, N)); W2 = np.zeros((N, N)); b2 = np.zeros(N)
+    seeds2 = (7, 8)
+    k = n_keep * len(seeds2)
+    for seed in seeds2:
+        ref = NumpyGLMReference(N=N, B=B, basis=basis, rho=rho, mu_w=0.0,
+                                sigma_w=sigma_w, mu_b=mu_b, sigma_b=sigma_b,
+                                seed=seed, observation="binomial",
+                                n_trials=n_trials)
+        Xf = ref.design(Y)
+        for it in range(n_burn + n_keep):
+            ref.resample(Y, Xf)
+            if it >= n_burn:
+                A2 += ref.A / k
+                W2 += (ref.A[:, :, None] * ref.W).sum(-1) / k
+                b2 += ref.b / k
+
+    assert np.max(np.abs(b1 - b2)) < 0.2, (b1, b2)
+    assert np.max(np.abs(W1 - W2)) < 0.2, np.max(np.abs(W1 - W2))
+    assert np.max(np.abs(A1 - A2)) < 0.3, np.max(np.abs(A1 - A2))
+    assert abs(A1.mean() - A2.mean()) < 0.06
+
+
+@pytest.mark.slow
 def test_posterior_means_match_numpy_reference_sbm():
     """Structured-prior path (round 4, deepening VERDICT r3 weak #5): the
     stochastic block model — per-edge spike/slab hypers indexed by learned
