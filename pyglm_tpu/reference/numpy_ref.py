@@ -24,7 +24,12 @@ r3 weak #5 to the structured-prior side — the stochastic block model
 (sequential-Gibbs label scan, Dirichlet pi, per-block-pair Beta rho and
 NIW weight priors; pyglm/networks.py SBM analog), so the block-structured
 per-edge spike-and-slab conditionals get an independent implementation
-check beyond the Geweke suite.
+check beyond the Geweke suite, plus the latent-distance model
+(rho_ij = logistic(gamma - ||l_i - l_j||^2)) sampled by single-site
+random-walk Metropolis + prior-relocation moves on (l, gamma) — a
+DIFFERENT exact algorithm than the JAX side's leapfrog HMC, so position-
+posterior agreement cross-checks the HMC implementation itself — with the
+shared masked-NIW slab update on the active-edge weights.
 """
 from __future__ import annotations
 
@@ -175,7 +180,10 @@ class NumpyGLMReference:
                  eta_init=1.0, a_eta=2.0, b_eta=1.0, resample_eta=True,
                  n_trials=1,
                  network="er", K=2, alpha_pi=1.0, a_rho=1.0, b_rho=1.0,
-                 niw_mu0=0.0, niw_kappa0=1.0, niw_nu0=None, niw_psi0=1.0):
+                 niw_mu0=0.0, niw_kappa0=1.0, niw_nu0=None, niw_psi0=1.0,
+                 dim=2, sigma_l=1.0, sigma_gamma=2.0, gamma_init=0.0,
+                 ld_mh_passes=10, ld_step=0.3, ld_step_gamma=0.3,
+                 ld_learn_weight_prior=True):
         self.N, self.B = N, B
         self.basis = np.asarray(basis, np.float64)
         self.rho, self.mu_w, self.sigma_w = rho, mu_w, sigma_w
@@ -184,7 +192,7 @@ class NumpyGLMReference:
         assert observation in ("bernoulli", "negative_binomial", "gaussian",
                                "binomial")
         self.n_trials = int(n_trials)
-        assert network in ("er", "sbm")
+        assert network in ("er", "sbm", "latent_distance")
         self.network = network
         self.a_r, self.b_r, self.resample_r = a_r, b_r, resample_r
         self.a_eta, self.b_eta, self.resample_eta = a_eta, b_eta, resample_eta
@@ -194,16 +202,30 @@ class NumpyGLMReference:
         self.A = (self.rng.rand(N, N) < rho).astype(np.float64)
         self.W = self.rng.randn(N, N, B) * np.sqrt(sigma_w) * self.A[:, :, None]
         self.b = mu_b + np.sqrt(sigma_b) * self.rng.randn(N)
+        if network in ("sbm", "latent_distance"):
+            self.niw_mu0 = np.full(B, float(niw_mu0))
+            self.niw_kappa0 = float(niw_kappa0)
+            self.niw_nu0 = float(niw_nu0 if niw_nu0 is not None else B + 2)
+            self.niw_psi0 = np.eye(B) * float(niw_psi0)
+        if network == "latent_distance":
+            # Latent-distance state, mirroring networks.py
+            # LatentDistanceConfig.init_state: positions from the prior,
+            # gamma = gamma_init, shared slab prior (0, sigma_w * I).
+            self.dim = int(dim)
+            self.sigma_l, self.sigma_gamma = float(sigma_l), float(sigma_gamma)
+            self.ld_mh_passes = int(ld_mh_passes)
+            self.ld_step, self.ld_step_gamma = float(ld_step), float(ld_step_gamma)
+            self.ld_learn_weight_prior = bool(ld_learn_weight_prior)
+            self.Lpos = self.sigma_l * self.rng.randn(N, self.dim)
+            self.gamma = float(gamma_init)
+            self.mu_sh = np.zeros(B)
+            self.Sigma_sh = np.eye(B) * sigma_w
         if network == "sbm":
             # SBM state, mirroring networks.py SBMConfig.init_state: random
             # labels, uniform pi, rho_init = rho, zero block means, sigma_w*I
             # block covariances; NIW prior (mu0, kappa0, nu0 = B+2, psi0*I).
             self.K = K
             self.alpha_pi, self.a_rho, self.b_rho = alpha_pi, a_rho, b_rho
-            self.niw_mu0 = np.full(B, float(niw_mu0))
-            self.niw_kappa0 = float(niw_kappa0)
-            self.niw_nu0 = float(niw_nu0 if niw_nu0 is not None else B + 2)
-            self.niw_psi0 = np.eye(B) * float(niw_psi0)
             self.c = self.rng.randint(0, K, size=N)
             self.pi = np.full(K, 1.0 / K)
             self.rho_blk = np.full((K, K), float(rho))
@@ -251,6 +273,15 @@ class NumpyGLMReference:
             ce = (self.c[:, None], self.c[None, :])
             Lam_e, mu_e = Lam_blk[ce], self.mu_blk[ce]       # (N,N,B,B/B)
             lrho_e, ld_e = lrho_blk[ce], ld_blk[ce]          # (N, N)
+        elif self.network == "latent_distance":
+            # Shared learned slab prior; per-edge logit rho from the
+            # latent positions, clipped like networks.py edge_hypers.
+            Lam0 = np.linalg.inv(self.Sigma_sh)
+            mu0 = self.mu_sh
+            ld0 = 0.5 * np.linalg.slogdet(Lam0)[1]
+            d2 = ((self.Lpos[:, None, :]
+                   - self.Lpos[None, :, :]) ** 2).sum(-1)
+            lrho_ld = np.clip(self.gamma - d2, -15.0, 15.0)
         else:
             Lam0 = np.eye(B) / self.sigma_w
             mu0 = np.full(B, self.mu_w)
@@ -281,6 +312,8 @@ class NumpyGLMReference:
                 if self.network == "sbm":
                     Lam0, mu0 = Lam_e[j, n], mu_e[j, n]
                     logit_rho, ld0 = lrho_e[j, n], ld_e[j, n]
+                elif self.network == "latent_distance":
+                    logit_rho = lrho_ld[j, n]
                 sl = slice(j * B, (j + 1) * B)
                 Jjj = J[sl, sl]
                 mj = h[sl] - (r[sl] - Jjj @ w[sl])
@@ -326,6 +359,8 @@ class NumpyGLMReference:
                 beta / self.rng.standard_gamma(alpha, size=self.N), 1e-6)
         if self.network == "sbm":
             self._resample_sbm()
+        elif self.network == "latent_distance":
+            self._resample_latent_distance()
 
     def _resample_sbm(self):
         """SBM block-state conditionals given (A, W): sequential-Gibbs label
@@ -392,6 +427,75 @@ class NumpyGLMReference:
                 self.mu_blk[x, y] = (
                     (self.niw_kappa0 * self.niw_mu0 + n * xbar) / kap_n
                     + L @ self.rng.randn(B))
+
+    def _resample_latent_distance(self):
+        """Latent-distance conditionals given (A, W): single-site
+        random-walk Metropolis on each position l_n and on gamma, one
+        prior-relocation independence move per pass (proposal == prior, so
+        the densities cancel; lets a neuron jump embedding basins), then
+        the shared masked-NIW slab update on the active-edge weights
+        (networks.py LatentDistanceConfig.resample analog; the JAX side
+        uses leapfrog HMC — a different exact algorithm targeting the SAME
+        conditional, which is the point of this oracle)."""
+        N, B = self.N, self.B
+        A = self.A
+        L, gamma = self.Lpos, self.gamma
+
+        def a_loglik(Lc, g):
+            # unclipped, like the HMC potential (all N^2 directed edges)
+            d2 = ((Lc[:, None, :] - Lc[None, :, :]) ** 2).sum(-1)
+            lr = g - d2
+            return np.sum(A * lr - np.logaddexp(0.0, lr))
+
+        ll_cur = a_loglik(L, gamma)
+        for _ in range(self.ld_mh_passes):
+            for n in range(N):
+                prop = L.copy()
+                prop[n] = L[n] + self.ld_step * self.rng.randn(self.dim)
+                ll_new = a_loglik(prop, gamma)
+                dlp = (ll_new - ll_cur
+                       - 0.5 * (prop[n] @ prop[n] - L[n] @ L[n])
+                       / self.sigma_l ** 2)
+                if np.log(self.rng.rand()) < dlp:
+                    L, ll_cur = prop, ll_new
+            # prior-relocation move on one random site
+            n = self.rng.randint(N)
+            prop = L.copy()
+            prop[n] = self.sigma_l * self.rng.randn(self.dim)
+            ll_new = a_loglik(prop, gamma)
+            if np.log(self.rng.rand()) < ll_new - ll_cur:
+                L, ll_cur = prop, ll_new
+            # gamma random walk
+            gprop = gamma + self.ld_step_gamma * self.rng.randn()
+            ll_new = a_loglik(L, gprop)
+            dlp = (ll_new - ll_cur
+                   - 0.5 * (gprop ** 2 - gamma ** 2) / self.sigma_gamma ** 2)
+            if np.log(self.rng.rand()) < dlp:
+                gamma, ll_cur = gprop, ll_new
+        self.Lpos, self.gamma = L, gamma
+
+        if self.ld_learn_weight_prior:
+            # shared NIW posterior from active-edge weights (masked stats,
+            # networks.py _masked_niw_resample analog: xbar -> 0 when no
+            # edge is active, matching the JAX masked form).
+            from scipy.stats import invwishart
+            n_act = A.sum()
+            xbar = (np.einsum("ij,ijb->b", A, self.W) / n_act if n_act > 0
+                    else np.zeros(B))
+            dd = (self.W - xbar) * A[:, :, None]
+            S = np.einsum("ijb,ijc->bc", dd, dd)
+            kap_n = self.niw_kappa0 + n_act
+            dv = (xbar - self.niw_mu0)[:, None]
+            Psi_n = (self.niw_psi0 + S
+                     + (self.niw_kappa0 * n_act / kap_n) * (dv @ dv.T))
+            Sig = np.atleast_2d(invwishart.rvs(
+                df=self.niw_nu0 + n_act, scale=Psi_n,
+                random_state=self.rng))
+            self.Sigma_sh = Sig
+            Lc = np.linalg.cholesky(Sig / kap_n)
+            self.mu_sh = (
+                (self.niw_kappa0 * self.niw_mu0 + n_act * xbar) / kap_n
+                + Lc @ self.rng.randn(B))
 
     def log_likelihood(self, Y, Xf):
         N, B = self.N, self.B

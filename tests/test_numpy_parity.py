@@ -396,3 +396,103 @@ def test_posterior_means_match_numpy_reference_sbm():
     assert np.max(np.abs(W1 - W2)) < 0.35, np.max(np.abs(W1 - W2))
     assert abs(A1.mean() - A2.mean()) < 0.06
     assert abs(rho1 - rho2) < 0.12, (rho1, rho2)
+
+
+@pytest.mark.slow
+def test_posterior_means_match_numpy_reference_latent_distance():
+    """Distance-prior path (sixth oracle family, round 4): the latent-
+    distance network — rho_ij = logistic(gamma - ||l_i - l_j||^2) with the
+    shared masked-NIW slab — against the independent f64 NumPy oracle.
+
+    The two samplers use DIFFERENT exact algorithms for the (l, gamma)
+    conditional: the JAX side runs merged-kick leapfrog HMC plus swap /
+    prior-relocation MH (networks.py LatentDistanceConfig.resample), the
+    oracle runs single-site random-walk Metropolis + prior relocations.
+    Agreement on the position-marginal functionals therefore cross-checks
+    the HMC implementation itself, not just the shared math. All compared
+    functionals are rotation/reflection invariant (per-edge A/W posterior
+    means, bias, edge density, gamma)."""
+    N, B, L, T = 5, 2, 4, 1500
+    sigma_l, sigma_gamma, sigma_w = 1.0, 2.0, 0.5
+    mu_b, sigma_b = -1.0, 0.4
+    basis = cosine_basis(B=B, L=L)
+
+    nk = dict(dim=2, sigma_l=sigma_l, sigma_gamma=sigma_gamma,
+              sigma_w=sigma_w, mu_bias=mu_b, sigma_bias=sigma_b,
+              niw_kappa0=1.0, niw_psi0=1.0)
+    gen = pt.NonlinearAutoregressiveModel(
+        N, basis=basis, observation="bernoulli", network="latent_distance",
+        spike_and_slab=True, seed=11,
+        net_kwargs=dict(nk, gamma_init=0.5))
+    Y = gen.generate(T, keep=False).astype(np.float64)
+
+    n_burn, n_keep = 200, 600
+
+    # --- TPU-native chains (two seeds, pooled; scanned driver — the eager
+    # per-sweep dispatch at this tiny shape costs ~100x the sweep) ---------
+    import jax
+    import jax.numpy as jnp
+    A1 = np.zeros((N, N)); W1 = np.zeros((N, N)); b1 = np.zeros(N)
+    g1 = 0.0
+    seeds1 = (0, 1)
+    k = n_keep * len(seeds1)
+    for seed in seeds1:
+        model = pt.NonlinearAutoregressiveModel(
+            N, basis=basis, observation="bernoulli",
+            network="latent_distance", spike_and_slab=True, seed=seed,
+            net_kwargs=dict(nk, swap_moves=2, relocate_moves=2))
+        model.add_data(Y)
+        sweep = model._sweep
+        datas = tuple(model.datas)
+
+        @jax.jit
+        def chain(state, kb, ka):
+            def step(s, kk):
+                return sweep(kk, s, datas)[0], None
+
+            state = jax.lax.scan(step, state, kb)[0]
+
+            def astep(carry, kk):
+                s, aA, aW, ab, ag = carry
+                s = sweep(kk, s, datas)[0]
+                return (s, aA + s.A,
+                        aW + jnp.sum(s.A[:, :, None] * s.W, -1),
+                        ab + s.b, ag + s.net.gamma), None
+
+            z = jnp.zeros
+            carry = (state, z((N, N)), z((N, N)), z((N,)), 0.0)
+            return jax.lax.scan(astep, carry, ka)[0]
+
+        _, aA, aW, ab, ag = chain(
+            model.state, jax.random.split(model._next_key(), n_burn),
+            jax.random.split(model._next_key(), n_keep))
+        A1 += np.asarray(aA) / k
+        W1 += np.asarray(aW) / k
+        b1 += np.asarray(ab) / k
+        g1 += float(ag) / k
+
+    # --- NumPy/f64 reference chains (two seeds, pooled) ------------------
+    A2 = np.zeros((N, N)); W2 = np.zeros((N, N)); b2 = np.zeros(N)
+    g2 = 0.0
+    seeds2 = (7, 8)
+    k = n_keep * len(seeds2)
+    for seed in seeds2:
+        ref = NumpyGLMReference(
+            N=N, B=B, basis=basis, rho=0.35, sigma_w=sigma_w,
+            mu_b=mu_b, sigma_b=sigma_b, seed=seed,
+            network="latent_distance", dim=2, sigma_l=sigma_l,
+            sigma_gamma=sigma_gamma, niw_kappa0=1.0, niw_psi0=1.0)
+        Xf = ref.design(Y)
+        for it in range(n_burn + n_keep):
+            ref.resample(Y, Xf)
+            if it >= n_burn:
+                A2 += ref.A / k
+                W2 += (ref.A[:, :, None] * ref.W).sum(-1) / k
+                b2 += ref.b / k
+                g2 += ref.gamma / k
+
+    assert np.max(np.abs(b1 - b2)) < 0.25, (b1, b2)
+    assert np.max(np.abs(A1 - A2)) < 0.25, np.max(np.abs(A1 - A2))
+    assert np.max(np.abs(W1 - W2)) < 0.35, np.max(np.abs(W1 - W2))
+    assert abs(A1.mean() - A2.mean()) < 0.06
+    assert abs(g1 - g2) < 0.6, (g1, g2)
