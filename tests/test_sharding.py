@@ -202,6 +202,27 @@ def _structured_family(family, N=16, T=512, seed=3):
         build = lambda s: pt.SparseNegativeBinomialGLM(  # noqa: E731
             N, B=2, L=4, seed=s, **kw)
         return Y, build
+    if family == "gaussian":
+        kw = dict(obs_kwargs=dict(eta_init=1.0),
+                  net_kwargs=dict(rho_init=0.2, learn_rho=False, mu_bias=0.2,
+                                  sigma_w=0.02, learn_weight_prior=False))
+        true = pt.SparseGaussianGLM(
+            N, B=2, L=4, seed=seed,
+            obs_kwargs=dict(eta_init=0.1, resample_eta=False),
+            net_kwargs=kw["net_kwargs"])
+        Y = true.generate(T, keep=False)
+        build = lambda s: pt.SparseGaussianGLM(  # noqa: E731
+            N, B=2, L=4, seed=s, **kw)
+        return Y, build
+    if family == "binomial":
+        nk = dict(rho_init=0.2, learn_rho=False, mu_bias=-1.5,
+                  learn_weight_prior=False, sigma_w=0.05)
+        mk = lambda s: pt.NonlinearAutoregressiveModel(  # noqa: E731
+            N, B=2, L=4, observation="binomial", network="erdos_renyi",
+            spike_and_slab=True, seed=s, obs_kwargs=dict(n_trials=3),
+            net_kwargs=nk)
+        Y = mk(seed).generate(T, keep=False)
+        return Y, mk
     nk = (dict(dim=2, mu_bias=-1.5) if family == "latent_distance"
           else dict(K=3, mu_bias=-1.5))
     true = pt.NonlinearAutoregressiveModel(
@@ -217,14 +238,18 @@ def _structured_family(family, N=16, T=512, seed=3):
 @requires_8
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "family", ["latent_distance", "sbm", "negative_binomial"])
+    "family", ["latent_distance", "sbm", "negative_binomial",
+               "gaussian", "binomial"])
 def test_sharded_chain_statistical_parity_structured(family):
     """Distribution-level mesh validation for the non-ER configs (VERDICT
     r3 next item #2 / missing #3): a sharded chain must reach the same
     posterior as the unsharded chain — compare post-burn-in posterior
     functionals (mean log-lik, edge density, edge marginals, and a
     family-specific hyperparameter marginal: latent-distance gamma-minus-
-    mean-d2, SBM mean block rho, NB mean dispersion r). Tolerances are
+    mean-d2, SBM mean block rho, NB mean dispersion r, Gaussian mean noise
+    eta, Binomial mean bias — the last two added in r4 so every observation
+    family has distribution-level mesh coverage, not just the PG-Bernoulli
+    ones). Tolerances are
     ~2.5x the measured SEED-TO-SEED scatter of unsharded chains at this
     exact protocol (multi-seed calibration, r4) — so a pass means the mesh
     chain is statistically indistinguishable from a fresh seed. The
@@ -250,6 +275,11 @@ def test_sharded_chain_statistical_parity_structured(family):
                 if family == "negative_binomial":
                     extra.append(float(np.mean(np.asarray(
                         m.state.aux["r"]))))
+                elif family == "gaussian":
+                    extra.append(float(np.mean(np.asarray(
+                        m.state.aux["eta"]))))
+                elif family == "binomial":
+                    extra.append(float(np.mean(np.asarray(m.state.b))))
                 elif family == "latent_distance":
                     L = np.asarray(m.state.net.L)
                     d2 = ((L[:, None, :] - L[None, :, :]) ** 2).sum(-1)
@@ -263,15 +293,32 @@ def test_sharded_chain_statistical_parity_structured(family):
     ll_u, dens_u, ex_u, Am_u = run(11, shard=False)
     ll_s, dens_s, ex_s, Am_s = run(11, shard=True)
 
-    assert abs(ll_u - ll_s) / abs(ll_u) < 0.01, (ll_u, ll_s)
+    # Gaussian's LL marginal has larger seed-to-seed scatter (|ll| is ~3x
+    # smaller and eta is learned; measured rel scatter 0.007-0.026 across
+    # seeds 11/12/13 at this protocol) — family-specific gate at ~2.5x.
+    ll_tol = {"gaussian": 0.06}.get(family, 0.01)
+    assert abs(ll_u - ll_s) / abs(ll_u) < ll_tol, (ll_u, ll_s)
     dens_tol = {"latent_distance": 0.12, "sbm": 0.15,
-                "negative_binomial": 0.05}[family]
+                "negative_binomial": 0.05, "gaussian": 0.07,
+                "binomial": 0.05}[family]
     assert abs(dens_u - dens_s) < dens_tol, (dens_u, dens_s)
+    # Gaussian per-edge A marginals are sticky in ANY exact sampler at this
+    # budget (deterministic omega => fixed-coupling Ising-like A posterior;
+    # same effect documented in test_numpy_parity's Gaussian config — seed
+    # scatter 0.25-0.28 mean-abs), so its per-edge gate is a loose sanity
+    # check and the tight gates are LL/density/eta.
     am_tol = {"latent_distance": 0.35, "sbm": 0.40,
-              "negative_binomial": 0.25}[family]
+              "negative_binomial": 0.25, "gaussian": 0.45,
+              "binomial": 0.25}[family]
     assert np.abs(Am_u - Am_s).mean() < am_tol, np.abs(Am_u - Am_s).mean()
     if family == "negative_binomial":
         assert abs(ex_u - ex_s) / abs(ex_u) < 0.08, (ex_u, ex_s)
+    elif family == "gaussian":
+        # mean posterior eta (seed scatter ~0.002 at mean ~0.11)
+        assert abs(ex_u - ex_s) < 0.01, (ex_u, ex_s)
+    elif family == "binomial":
+        # mean posterior bias (seed scatter ~0.04 at mean ~-1.86)
+        assert abs(ex_u - ex_s) < 0.12, (ex_u, ex_s)
     elif family == "latent_distance":
         assert abs(ex_u - ex_s) < 2.0, (ex_u, ex_s)
     else:
