@@ -496,3 +496,58 @@ def test_posterior_means_match_numpy_reference_latent_distance():
     assert np.max(np.abs(W1 - W2)) < 0.35, np.max(np.abs(W1 - W2))
     assert abs(A1.mean() - A2.mean()) < 0.06
     assert abs(g1 - g2) < 0.6, (g1, g2)
+
+
+@pytest.mark.slow
+def test_posterior_means_match_numpy_reference_multinomial():
+    """Stick-breaking path (seventh oracle config, round 4): the standalone
+    MultinomialRegression — K-way counts decomposed into K-1 dependent
+    binomial stick subproblems (ops/stick_breaking.py N_vec/kappa_vec) with
+    PG(N_k, psi_k) auxiliaries — against the independent f64 NumPy oracle,
+    which draws the integer-b auxiliaries as exact N_k-fold Devroye
+    convolutions while the JAX side routes through the integer-b
+    gamma-series dispatch: zero shared PG code. This is the only parity
+    config exercising the regression layer (models/regressions.py) rather
+    than the network GLM, so the stick transforms, the batched multi-dim
+    weight draw, and the b=0 PG edge case (exhausted sticks) all get an
+    independent cross-implementation check."""
+    from pyglm_tpu.models.regressions import MultinomialRegression
+    from pyglm_tpu.reference.numpy_ref import NumpyMultinomialRegression
+
+    K, D_in, T, n_trials = 4, 3, 600, 5
+    rng = np.random.RandomState(5)
+    X = rng.randn(T, D_in).astype(np.float64)
+
+    planted = MultinomialRegression(K, D_in, seed=42)
+    Y = np.asarray(planted.rvs(X, n_trials=n_trials), np.float64)
+    assert Y.sum(-1).max() == n_trials
+
+    n_burn, n_keep = 100, 400
+
+    # --- TPU-native chain -------------------------------------------------
+    reg = MultinomialRegression(K, D_in, seed=0)
+    A1 = np.zeros((K - 1, D_in)); b1 = np.zeros(K - 1)
+    pi1 = np.zeros((T, K))
+    for it in range(n_burn + n_keep):
+        reg.resample((X, Y))
+        if it >= n_burn:
+            A1 += reg.A / n_keep
+            b1 += reg.b / n_keep
+            pi1 += np.asarray(reg.pi(X)) / n_keep
+
+    # --- NumPy/f64 reference chain ----------------------------------------
+    ref = NumpyMultinomialRegression(K, D_in, seed=7)
+    A2 = np.zeros((K - 1, D_in)); b2 = np.zeros(K - 1)
+    pi2 = np.zeros((T, K))
+    for it in range(n_burn + n_keep):
+        ref.resample(X, Y)
+        if it >= n_burn:
+            A2 += ref.A / n_keep
+            b2 += ref.b / n_keep
+            pi2 += ref.pi(X) / n_keep
+
+    assert np.max(np.abs(A1 - A2)) < 0.1, (A1, A2)
+    assert np.max(np.abs(b1 - b2)) < 0.1, (b1, b2)
+    assert np.max(np.abs(pi1 - pi2)) < 0.03, np.max(np.abs(pi1 - pi2))
+    # simplex sanity
+    assert np.allclose(pi1.sum(-1), 1.0, atol=1e-4)
