@@ -29,7 +29,10 @@ check beyond the Geweke suite, plus the latent-distance model
 random-walk Metropolis + prior-relocation moves on (l, gamma) — a
 DIFFERENT exact algorithm than the JAX side's leapfrog HMC, so position-
 posterior agreement cross-checks the HMC implementation itself — with the
-shared masked-NIW slab update on the active-edge weights.
+shared masked-NIW slab update on the active-edge weights, and the dense
+network (all edges present, full per-neuron P-dim conjugate draws — the
+weights.py resample_dense path, which no spike-and-slab config exercises —
+with the learned shared NIW prior over all N^2 edges).
 """
 from __future__ import annotations
 
@@ -192,7 +195,7 @@ class NumpyGLMReference:
         assert observation in ("bernoulli", "negative_binomial", "gaussian",
                                "binomial")
         self.n_trials = int(n_trials)
-        assert network in ("er", "sbm", "latent_distance")
+        assert network in ("er", "sbm", "latent_distance", "dense")
         self.network = network
         self.a_r, self.b_r, self.resample_r = a_r, b_r, resample_r
         self.a_eta, self.b_eta, self.resample_eta = a_eta, b_eta, resample_eta
@@ -202,11 +205,19 @@ class NumpyGLMReference:
         self.A = (self.rng.rand(N, N) < rho).astype(np.float64)
         self.W = self.rng.randn(N, N, B) * np.sqrt(sigma_w) * self.A[:, :, None]
         self.b = mu_b + np.sqrt(sigma_b) * self.rng.randn(N)
-        if network in ("sbm", "latent_distance"):
+        if network in ("sbm", "latent_distance", "dense"):
             self.niw_mu0 = np.full(B, float(niw_mu0))
             self.niw_kappa0 = float(niw_kappa0)
             self.niw_nu0 = float(niw_nu0 if niw_nu0 is not None else B + 2)
             self.niw_psi0 = np.eye(B) * float(niw_psi0)
+        if network == "dense":
+            # Dense path, mirroring networks.py DenseNetworkConfig: all
+            # edges present; shared NIW-learned slab prior initialized at
+            # (0, sigma_w * I) like init_state.
+            self.A = np.ones((N, N))
+            self.W = self.rng.randn(N, N, B) * np.sqrt(sigma_w)
+            self.mu_sh = np.zeros(B)
+            self.Sigma_sh = np.eye(B) * sigma_w
         if network == "latent_distance":
             # Latent-distance state, mirroring networks.py
             # LatentDistanceConfig.init_state: positions from the prior,
@@ -282,6 +293,12 @@ class NumpyGLMReference:
             d2 = ((self.Lpos[:, None, :]
                    - self.Lpos[None, :, :]) ** 2).sum(-1)
             lrho_ld = np.clip(self.gamma - d2, -15.0, 15.0)
+        elif self.network == "dense":
+            # Shared learned slab prior; all edges present (A == 1), so
+            # each neuron's weights update as ONE full P-dim conjugate
+            # Gaussian draw (weights.py resample_dense analog).
+            Lam0 = np.linalg.inv(self.Sigma_sh)
+            mu0 = self.mu_sh
         else:
             Lam0 = np.eye(B) / self.sigma_w
             mu0 = np.full(B, self.mu_w)
@@ -306,6 +323,25 @@ class NumpyGLMReference:
                     omega = numpy_pg_devroye(self.rng, psi)
             J = (Xf * omega[:, None]).T @ Xf     # (P, P)
             h = Xf.T @ kappa[:, n]
+            if self.network == "dense":
+                # Full conjugate draw: prior precision blockdiag(Lam0 x N,
+                # 1/sigma_b), prior info [Lam0 mu0 tiled; mu_b/sigma_b]
+                # (weights.py _dense_one_neuron analog, f64 Cholesky).
+                prior_prec = np.zeros((P, P))
+                for j in range(N):
+                    sl = slice(j * B, (j + 1) * B)
+                    prior_prec[sl, sl] = Lam0
+                prior_prec[-1, -1] = 1.0 / self.sigma_b
+                h0 = np.concatenate(
+                    [np.tile(Lam0 @ mu0, N), [self.mu_b / self.sigma_b]])
+                Jp = J + prior_prec
+                mean = np.linalg.solve(Jp, h + h0)
+                Lc = np.linalg.cholesky(Jp)
+                w = mean + np.linalg.solve(Lc.T, self.rng.randn(P))
+                self.W[:, n] = w[:-1].reshape(N, B)
+                self.b[n] = w[-1]
+                w_full[:, n] = w
+                continue
             w = w_full[:, n].copy()
             r = J @ w
             for j in range(N):                   # sequential spike-and-slab
@@ -361,6 +397,10 @@ class NumpyGLMReference:
             self._resample_sbm()
         elif self.network == "latent_distance":
             self._resample_latent_distance()
+        elif self.network == "dense":
+            # learned shared NIW prior over ALL N^2 edges (mask == 1;
+            # networks.py DenseNetworkConfig.resample analog).
+            self._resample_shared_niw(np.ones((self.N, self.N)))
 
     def _resample_sbm(self):
         """SBM block-state conditionals given (A, W): sequential-Gibbs label
@@ -475,27 +515,32 @@ class NumpyGLMReference:
         self.Lpos, self.gamma = L, gamma
 
         if self.ld_learn_weight_prior:
-            # shared NIW posterior from active-edge weights (masked stats,
-            # networks.py _masked_niw_resample analog: xbar -> 0 when no
-            # edge is active, matching the JAX masked form).
-            from scipy.stats import invwishart
-            n_act = A.sum()
-            xbar = (np.einsum("ij,ijb->b", A, self.W) / n_act if n_act > 0
-                    else np.zeros(B))
-            dd = (self.W - xbar) * A[:, :, None]
-            S = np.einsum("ijb,ijc->bc", dd, dd)
-            kap_n = self.niw_kappa0 + n_act
-            dv = (xbar - self.niw_mu0)[:, None]
-            Psi_n = (self.niw_psi0 + S
-                     + (self.niw_kappa0 * n_act / kap_n) * (dv @ dv.T))
-            Sig = np.atleast_2d(invwishart.rvs(
-                df=self.niw_nu0 + n_act, scale=Psi_n,
-                random_state=self.rng))
-            self.Sigma_sh = Sig
-            Lc = np.linalg.cholesky(Sig / kap_n)
-            self.mu_sh = (
-                (self.niw_kappa0 * self.niw_mu0 + n_act * xbar) / kap_n
-                + Lc @ self.rng.randn(B))
+            self._resample_shared_niw(A)
+
+    def _resample_shared_niw(self, mask):
+        """(mu_sh, Sigma_sh) ~ NIW posterior from the masked-edge weights
+        (masked stats, networks.py _masked_niw_resample analog: xbar -> 0
+        when no edge is active, matching the JAX masked form). Shared by
+        the latent-distance (mask = A) and dense (mask = 1) networks."""
+        B = self.B
+        from scipy.stats import invwishart
+        n_act = mask.sum()
+        xbar = (np.einsum("ij,ijb->b", mask, self.W) / n_act if n_act > 0
+                else np.zeros(B))
+        dd = (self.W - xbar) * mask[:, :, None]
+        S = np.einsum("ijb,ijc->bc", dd, dd)
+        kap_n = self.niw_kappa0 + n_act
+        dv = (xbar - self.niw_mu0)[:, None]
+        Psi_n = (self.niw_psi0 + S
+                 + (self.niw_kappa0 * n_act / kap_n) * (dv @ dv.T))
+        Sig = np.atleast_2d(invwishart.rvs(
+            df=self.niw_nu0 + n_act, scale=Psi_n,
+            random_state=self.rng))
+        self.Sigma_sh = Sig
+        Lc = np.linalg.cholesky(Sig / kap_n)
+        self.mu_sh = (
+            (self.niw_kappa0 * self.niw_mu0 + n_act * xbar) / kap_n
+            + Lc @ self.rng.randn(B))
 
     def log_likelihood(self, Y, Xf):
         N, B = self.N, self.B

@@ -551,3 +551,59 @@ def test_posterior_means_match_numpy_reference_multinomial():
     assert np.max(np.abs(pi1 - pi2)) < 0.03, np.max(np.abs(pi1 - pi2))
     # simplex sanity
     assert np.allclose(pi1.sum(-1), 1.0, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_posterior_means_match_numpy_reference_dense_niw():
+    """Dense path (eighth oracle config, round 4): the non-spike-and-slab
+    weight conditional — each neuron's full (N*B+1)-dim conjugate Gaussian
+    draw (weights.py resample_dense / _dense_one_neuron), which NO other
+    parity config exercises — with the learned shared NIW weight prior
+    over all N^2 edges, against the independent f64 NumPy oracle. Gates
+    posterior means of W, bias, and the learned prior's (mu, tr Sigma)."""
+    N, B, L, T = 4, 2, 4, 1500
+    sigma_w, mu_b, sigma_b = 0.05, -1.0, 0.4
+    basis = cosine_basis(B=B, L=L)
+
+    gen = pt.BernoulliGLM(
+        N, basis=basis, seed=31,
+        net_kwargs=dict(learn_weight_prior=False, sigma_w=sigma_w,
+                        mu_bias=mu_b, sigma_bias=sigma_b))
+    Y = gen.generate(T, keep=False).astype(np.float64)
+
+    nk = dict(mu_bias=mu_b, sigma_bias=sigma_b, sigma_w=sigma_w,
+              niw_kappa0=1.0, niw_psi0=1.0)
+    n_burn, n_keep = 150, 400
+
+    # --- TPU-native chain -------------------------------------------------
+    model = pt.BernoulliGLM(N, basis=basis, seed=0, net_kwargs=nk)
+    model.add_data(Y)
+    W1 = np.zeros((N, N)); b1 = np.zeros(N)
+    mu1 = np.zeros(B); tr1 = 0.0
+    for it in range(n_burn + n_keep):
+        model.resample_model()
+        if it >= n_burn:
+            W1 += model.W_effective / n_keep
+            b1 += model.bias / n_keep
+            mu1 += np.asarray(model.state.net.mu) / n_keep
+            tr1 += float(np.trace(np.asarray(model.state.net.Sigma))) / n_keep
+
+    # --- NumPy/f64 reference chain ----------------------------------------
+    ref = NumpyGLMReference(N=N, B=B, basis=basis, sigma_w=sigma_w,
+                            mu_b=mu_b, sigma_b=sigma_b, seed=7,
+                            network="dense", niw_kappa0=1.0, niw_psi0=1.0)
+    Xf = ref.design(Y)
+    W2 = np.zeros((N, N)); b2 = np.zeros(N)
+    mu2 = np.zeros(B); tr2 = 0.0
+    for it in range(n_burn + n_keep):
+        ref.resample(Y, Xf)
+        if it >= n_burn:
+            W2 += ref.W.sum(-1) / n_keep
+            b2 += ref.b / n_keep
+            mu2 += ref.mu_sh / n_keep
+            tr2 += float(np.trace(ref.Sigma_sh)) / n_keep
+
+    assert np.max(np.abs(b1 - b2)) < 0.25, (b1, b2)
+    assert np.max(np.abs(W1 - W2)) < 0.25, np.max(np.abs(W1 - W2))
+    assert np.max(np.abs(mu1 - mu2)) < 0.15, (mu1, mu2)
+    assert abs(tr1 - tr2) / tr2 < 0.3, (tr1, tr2)
