@@ -138,9 +138,61 @@ def make_stacked_sweep(obs, network, N: int, B: int, C: int,
     return sweep
 
 
+def make_stacked_sweep_sharded(obs, network, N: int, B: int, C: int,
+                               mesh, spike_slab: bool, t_chunk: int = 512,
+                               precision: str = "highest"):
+    """Chain-axis DATA PARALLELISM: the C-chain stacked sweep sharded over
+    a 1-D ('chain',) device mesh (parallel.sharding.make_chain_mesh).
+
+    Each of the M mesh devices runs the ordinary lane-stacked sweep for its
+    C/M chains on a REPLICATED copy of the data — chains are independent,
+    so the Gibbs pass needs ZERO collectives (the embarrassingly-parallel
+    MCMC axis; contrast the ('time','neuron') mesh, whose sufficient stats
+    psum over ICI). Inside the shard_map each body executes on exactly one
+    device, so the single-chip fused Pallas kernels are eligible per shard
+    (parallel.sharding.local_spmd). RNG: the driver key is folded with the
+    device's chain-axis index, then the local sweep splits it as usual —
+    chains on different devices draw from disjoint counter streams.
+
+    Reference analog: none — the reference's multi-chain story is one OS
+    process per chain (SURVEY.md §3.5); here M devices give M× aggregate
+    chain throughput with one compiled program.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from pyglm_tpu.parallel.sharding import local_spmd
+
+    M = mesh.shape["chain"]
+    assert C % M == 0, (
+        f"n_chains={C} must be divisible by the chain mesh size {M}")
+    local = make_stacked_sweep(obs, network, N, B, C // M, spike_slab,
+                               t_chunk=t_chunk, precision=precision)
+    chain_sp = P("chain")
+
+    def body(key, st, datas):
+        k = jax.random.fold_in(key, jax.lax.axis_index("chain"))
+        with local_spmd():
+            return local(k, st, datas)
+
+    def sweep(key, st, datas):
+        state_sp = jax.tree.map(lambda _: chain_sp, st)
+        data_sp = jax.tree.map(lambda _: P(), datas)
+        diag_sp = {"log_likelihood": chain_sp, "n_edges": chain_sp}
+        if hasattr(st.net, "hmc_accept"):
+            diag_sp["hmc_accept"] = chain_sp
+        # check_vma=False: the PG samplers' masked while_loops mix
+        # replicated and shard-varying carries (same note as
+        # ops/polyagamma._shard_map_elementwise).
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=(P(), state_sp, data_sp),
+            out_specs=(state_sp, diag_sp), check_vma=False)(key, st, datas)
+
+    return sweep
+
+
 def run_stacked_chains(model, n_chains: int, n_samples: int,
                        n_burnin: int = 0, thin: int = 1, seeds=None,
-                       max_sweeps_per_launch: int = 250):
+                       max_sweeps_per_launch: int = 250, mesh=None):
     """Run C prior-initialized chains with the lane-stacked sweep.
 
     Returns a list of C per-chain dicts {'A' (S,N,N), 'W' (S,N,N,B),
@@ -149,6 +201,10 @@ def run_stacked_chains(model, n_chains: int, n_samples: int,
     identically for both execution paths. Chain c is seeded exactly like
     the sequential path (fold_in(key(seed_c), 0x5EED) then a prior init),
     so the two paths draw from the same initialization distribution.
+
+    With ``mesh`` (a ('chain',) mesh from make_chain_mesh) the stacked
+    sweep is sharded chain-major across devices: each device sweeps
+    C/M chains locally on replicated data (make_stacked_sweep_sharded).
     """
     assert model.datas, "call add_data() or generate(keep=True) first"
     C = n_chains
@@ -168,11 +224,24 @@ def run_stacked_chains(model, n_chains: int, n_samples: int,
     st = stack_states(states)
     key = jax.random.fold_in(keys[0], 0xC8A1)   # one driver stream
 
-    sweep = make_stacked_sweep(
-        model.observation, model.network, model.N, model.B, C,
-        model.spike_and_slab, t_chunk=model._t_chunk,
-        precision=model._precision)
     datas = tuple(model.datas)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sweep = make_stacked_sweep_sharded(
+            model.observation, model.network, model.N, model.B, C,
+            mesh, model.spike_and_slab, t_chunk=model._t_chunk,
+            precision=model._precision)
+        # Place the chain axis across devices and replicate the data up
+        # front, so the first jit does not start with an implicit reshard.
+        st = jax.device_put(
+            st, jax.tree.map(lambda _: NamedSharding(mesh, P("chain")), st))
+        datas = jax.device_put(
+            datas, jax.tree.map(lambda _: NamedSharding(mesh, P()), datas))
+    else:
+        sweep = make_stacked_sweep(
+            model.observation, model.network, model.N, model.B, C,
+            model.spike_and_slab, t_chunk=model._t_chunk,
+            precision=model._precision)
     cap = max(1, max_sweeps_per_launch)
     if thin > cap:
         raise ValueError(f"thin={thin} exceeds max_sweeps_per_launch={cap}")

@@ -377,7 +377,8 @@ class NonlinearAutoregressiveModel:
 
     def fit_ensemble(self, n_chains: int = 4, n_samples: int = 100,
                      n_burnin: int = 0, thin: int = 1, seeds=None,
-                     compiled: bool = True, stacked: bool | str = "auto"):
+                     compiled: bool = True, stacked: bool | str = "auto",
+                     mesh=None):
         """Run ``n_chains`` independent Gibbs chains from fresh prior
         initializations on the registered data, with split-R̂ convergence
         diagnostics over the pooled traces.
@@ -396,6 +397,15 @@ class NonlinearAutoregressiveModel:
         chain on this model's compiled sweep, zero recompiles after the
         first chain).
 
+        Chain-axis device parallelism: pass ``mesh`` (a ('chain',) mesh
+        from parallel.sharding.make_chain_mesh) to spread the stacked
+        chains one-group-per-device with the data replicated — M devices
+        give M× aggregate chain throughput with zero collectives in the
+        Gibbs pass (models/ensemble.py make_stacked_sweep_sharded). The
+        model itself must be unsharded (chain parallelism replicates the
+        dataset; shard() parallelism splits it — compose by chains first
+        when the data fits per device).
+
         Returns a dict with stacked per-chain samples 'A' (C,S,N,N),
         'W' (C,S,N,N,B), 'bias' (C,S,N), 'lls' (C,S), plus
         'rhat_edge' (N,N) split-R̂ of the A inclusion traces,
@@ -407,6 +417,17 @@ class NonlinearAutoregressiveModel:
 
         assert self.datas, "call add_data() or generate(keep=True) first"
         assert n_chains >= 2 and n_samples >= 4, (n_chains, n_samples)
+        if mesh is not None:
+            assert self._mesh is None, (
+                "chain-axis parallelism needs an unsharded model (the "
+                "dataset is replicated per device); use EITHER shard() "
+                "or fit_ensemble(mesh=...)")
+            assert "chain" in mesh.shape, (
+                "fit_ensemble mesh must have a 'chain' axis "
+                "(parallel.sharding.make_chain_mesh)")
+            assert stacked in ("auto", True), (
+                "mesh= implies the stacked path; drop stacked=False")
+            stacked = True
         if stacked == "auto":
             stacked = self._mesh is None and compiled
         state0, key0 = self.state, self._key
@@ -418,7 +439,7 @@ class NonlinearAutoregressiveModel:
                 from pyglm_tpu.models.ensemble import run_stacked_chains
                 runs = run_stacked_chains(
                     self, n_chains, n_samples=n_samples,
-                    n_burnin=n_burnin, thin=thin, seeds=seeds)
+                    n_burnin=n_burnin, thin=thin, seeds=seeds, mesh=mesh)
             else:
                 for sd in seeds:
                     # distinct, reproducible key stream per chain
@@ -442,7 +463,8 @@ class NonlinearAutoregressiveModel:
     def fit_tempered(self, n_samples: int = 100, n_burnin: int = 0,
                      thin: int = 1, n_rungs: int = 8, betas=None,
                      accept: float = 0.3, pilot_sweeps: int = 200,
-                     seeds=None, max_sweeps_per_launch: int = 250):
+                     seeds=None, max_sweeps_per_launch: int = 250,
+                     mesh=None):
         """Parallel-tempered Gibbs: a ``n_rungs`` inverse-temperature ladder
         β_1 < … < β_C = 1 run as ONE lane-stacked sweep, with adjacent-rung
         replica-exchange swaps every sweep (models/tempering.py). Returns
@@ -476,15 +498,28 @@ class NonlinearAutoregressiveModel:
         with ``resample_r=False``, Gaussian with ``resample_eta=False``
         (precision scales by β). Reference analog: none (SURVEY.md §3.5 —
         the reference leaves multi-chain strategies to the user).
+
+        Chain-axis device parallelism: pass ``mesh`` (a ('chain',) mesh
+        from parallel.sharding.make_chain_mesh) to spread the ladder's
+        rungs across devices on replicated data — the Gibbs pass is
+        collective-free and the swap moves only the (C,) log-likelihoods
+        plus the accepted rung states over ICI, so a whole ladder costs
+        about one rung of wall time on an M=C slice
+        (models/tempering.py make_tempered_sweep_sharded).
         """
         from pyglm_tpu.models.tempering import (init_tempered_states,
                                                 make_tempered_sweep,
+                                                make_tempered_sweep_sharded,
                                                 suggest_ladder)
 
         assert self.datas, "call add_data() or generate(keep=True) first"
         assert self._mesh is None, (
             "fit_tempered runs on the lane-stacked (unsharded) machinery; "
             "temper before shard(), or run the sharded chain untempered")
+        if mesh is not None:
+            assert "chain" in mesh.shape, (
+                "fit_tempered mesh must have a 'chain' axis "
+                "(parallel.sharding.make_chain_mesh)")
         cap = max(1, max_sweeps_per_launch)
         if thin > cap:
             raise ValueError(
@@ -505,12 +540,24 @@ class NonlinearAutoregressiveModel:
         betas = np.asarray(betas, np.float64)
         C = betas.shape[0]
 
-        sweep = make_tempered_sweep(
-            self.observation, self.network, self.N, self.B, betas,
-            spike_slab=self.spike_and_slab, t_chunk=self._t_chunk,
-            precision=self._precision)
+        if mesh is not None:
+            sweep = make_tempered_sweep_sharded(
+                self.observation, self.network, self.N, self.B, betas,
+                mesh, spike_slab=self.spike_and_slab,
+                t_chunk=self._t_chunk, precision=self._precision)
+        else:
+            sweep = make_tempered_sweep(
+                self.observation, self.network, self.N, self.B, betas,
+                spike_slab=self.spike_and_slab, t_chunk=self._t_chunk,
+                precision=self._precision)
         st = init_tempered_states(self, betas, seeds=seeds)
         datas = tuple(self.datas)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            st = jax.device_put(st, jax.tree.map(
+                lambda _: NamedSharding(mesh, P("chain")), st))
+            datas = jax.device_put(datas, jax.tree.map(
+                lambda _: NamedSharding(mesh, P()), datas))
         cold = C - 1
         key = jax.random.fold_in(self._next_key(), 0x7E3B)
 

@@ -95,25 +95,17 @@ def suggest_ladder(sd_ll, C, accept=0.3, beta_max=1.0):
     return np.asarray(betas, np.float64), float(dbeta * (C - 1))
 
 
-def make_tempered_sweep(obs, network, N: int, B: int, betas,
-                        spike_slab: bool = True, t_chunk: int = 512,
-                        precision: str = "high"):
-    """Build the C-rung parallel-tempering sweep: (key, stacked_state,
-    datas) -> (stacked_state, diag). Chain c targets the beta_c-power
-    posterior; rung C-1 (beta=1) is the exact cold chain. Supported for
-    every observation family whose beta-power likelihood stays in the
-    PG-conjugate form with fixed likelihood auxiliaries — Bernoulli and
-    Binomial always; NegativeBinomial/Gaussian with resample_r/
-    resample_eta off (obs.tempering_blocker explains refusals)."""
-    blocker = obs.tempering_blocker()
-    assert blocker is None, blocker
-    betas = jnp.asarray(betas, jnp.float32)
-    C = betas.shape[0]
-    beta_lane = jnp.repeat(betas, N)            # (C*N,)
+def _make_tempered_pass(obs, network, N: int, B: int, C: int,
+                        spike_slab: bool, t_chunk: int, precision: str):
+    """The within-rung tempered Gibbs pass for C rungs (no swaps):
+    (k_pg, k_w, k_net, st (C,...), datas, betas (C,)) ->
+    (new_st, lls (C,), n_edges (C,)). Factored out so the single-device
+    sweep and the chain-mesh shard_map body (make_tempered_sweep_sharded,
+    where C is the per-device rung count) share one implementation."""
     prec = _PRECISIONS[precision]
 
-    def sweep(key, st: GLMState, datas: tuple):
-        k_pg, k_w, k_net, k_swap = jax.random.split(key, 4)
+    def gibbs(k_pg, k_w, k_net, st: GLMState, datas: tuple, betas):
+        beta_lane = jnp.repeat(betas, N)        # (C*N,)
         w_lane = _to_lanes(jax.vmap(pack_weights)(st.A, st.W, st.b))
         hyp_c = jax.vmap(network.edge_hypers)(st.net)
         hyp = EdgeHypers(
@@ -165,14 +157,104 @@ def make_tempered_sweep(obs, network, N: int, B: int, betas,
         # family's log_likelihood works in the swap ratio as-is.
         ll_el = obs.log_likelihood(Y_lane, psi_cat, aux_lane)
         lls = ll_el.reshape(T, C, N).sum(axis=(0, 2))
+        return new_st, lls, A.sum(axis=(1, 2))
+
+    return gibbs
+
+
+def make_tempered_sweep(obs, network, N: int, B: int, betas,
+                        spike_slab: bool = True, t_chunk: int = 512,
+                        precision: str = "high"):
+    """Build the C-rung parallel-tempering sweep: (key, stacked_state,
+    datas) -> (stacked_state, diag). Chain c targets the beta_c-power
+    posterior; rung C-1 (beta=1) is the exact cold chain. Supported for
+    every observation family whose beta-power likelihood stays in the
+    PG-conjugate form with fixed likelihood auxiliaries — Bernoulli and
+    Binomial always; NegativeBinomial/Gaussian with resample_r/
+    resample_eta off (obs.tempering_blocker explains refusals)."""
+    blocker = obs.tempering_blocker()
+    assert blocker is None, blocker
+    betas = jnp.asarray(betas, jnp.float32)
+    C = betas.shape[0]
+    gibbs = _make_tempered_pass(obs, network, N, B, C, spike_slab,
+                                t_chunk, precision)
+
+    def sweep(key, st: GLMState, datas: tuple):
+        k_pg, k_w, k_net, k_swap = jax.random.split(key, 4)
+        new_st, lls, n_edges = gibbs(k_pg, k_w, k_net, st, datas, betas)
 
         # -- replica exchange: permute theta between rungs ----------------
         perm, accept, parity = swap_permutation(k_swap, lls, betas)
         new_st = jax.tree.map(lambda x: x[perm], new_st)
-        diag = {"log_likelihood": lls[perm], "n_edges": A.sum(axis=(1, 2)),
+        diag = {"log_likelihood": lls[perm], "n_edges": n_edges,
                 "swap_accept": accept, "swap_parity": parity}
-        if hasattr(net, "hmc_accept"):
-            diag["hmc_accept"] = net.hmc_accept[perm]
+        if hasattr(new_st.net, "hmc_accept"):
+            diag["hmc_accept"] = new_st.net.hmc_accept
+        return new_st, diag
+
+    return sweep
+
+
+def make_tempered_sweep_sharded(obs, network, N: int, B: int, betas, mesh,
+                                spike_slab: bool = True, t_chunk: int = 512,
+                                precision: str = "high"):
+    """The C-rung tempering sweep with rungs spread over a ('chain',) mesh
+    (parallel.sharding.make_chain_mesh): each device runs the tempered
+    Gibbs pass for its C/M rungs on replicated data, then the rungs'
+    untempered log-likelihoods (C scalars) are gathered for the swap and
+    the accepted permutation moves whole states between devices — the only
+    cross-device traffic a tempering sweep needs, so a whole temperature
+    ladder costs ~1 rung of wall time on an M=C slice. Same conditionals
+    and swap rule as make_tempered_sweep; RNG streams are folded per
+    device. Reference analog: none (SURVEY.md §3.5)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pyglm_tpu.parallel.sharding import local_spmd
+
+    blocker = obs.tempering_blocker()
+    assert blocker is None, blocker
+    betas = jnp.asarray(betas, jnp.float32)
+    C = betas.shape[0]
+    M = mesh.shape["chain"]
+    assert C % M == 0, (
+        f"n_rungs={C} must be divisible by the chain mesh size {M}")
+    gibbs = _make_tempered_pass(obs, network, N, B, C // M, spike_slab,
+                                t_chunk, precision)
+    chain_sp = P("chain")
+
+    def body(k_pg, k_w, k_net, st, datas, betas_local):
+        idx = jax.lax.axis_index("chain")
+        with local_spmd():
+            return gibbs(jax.random.fold_in(k_pg, idx),
+                         jax.random.fold_in(k_w, idx),
+                         jax.random.fold_in(k_net, idx),
+                         st, datas, betas_local)
+
+    def sweep(key, st: GLMState, datas: tuple):
+        k_pg, k_w, k_net, k_swap = jax.random.split(key, 4)
+        state_sp = jax.tree.map(lambda _: chain_sp, st)
+        data_sp = jax.tree.map(lambda _: P(), datas)
+        # check_vma=False: same masked-while carry note as the ensemble's
+        # make_stacked_sweep_sharded.
+        new_st, lls, n_edges = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(), state_sp, data_sp, chain_sp),
+            out_specs=(state_sp, chain_sp, chain_sp),
+            check_vma=False)(k_pg, k_w, k_net, st, datas, betas)
+
+        # Swap on the gathered (C,) lls; x[perm] on the chain-sharded
+        # state is the cross-device exchange — GSPMD lowers it to the
+        # needed collective, and the constraint pins the result back to
+        # one-rung-group-per-device for the next sweep.
+        perm, accept, parity = swap_permutation(k_swap, lls, betas)
+        csh = NamedSharding(mesh, chain_sp)
+        new_st = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x[perm], csh),
+            new_st)
+        diag = {"log_likelihood": lls[perm], "n_edges": n_edges,
+                "swap_accept": accept, "swap_parity": parity}
+        if hasattr(new_st.net, "hmc_accept"):
+            diag["hmc_accept"] = new_st.net.hmc_accept
         return new_st, diag
 
     return sweep

@@ -530,19 +530,20 @@ def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
     STATIC jit argument so the mesh-sharded and single-device traces can
     never be served from each other's jit cache (they pick different code
     paths at trace time). See _tspace_impl for the math."""
-    from pyglm_tpu.parallel.sharding import active_mesh
+    from pyglm_tpu.parallel.sharding import active_mesh, in_local_spmd
     return _tspace_impl(key, Xf, omega, kappa, w_full, hyp, B=B,
                         t_chunk=t_chunk, precision=precision, group=group,
-                        psi=psi, Jg=Jg, Xt=Xt, mesh=active_mesh())
+                        psi=psi, Jg=Jg, Xt=Xt, mesh=active_mesh(),
+                        local_spmd=in_local_spmd())
 
 
 @partial(jax.jit, static_argnames=("B", "t_chunk", "precision", "group",
-                                   "mesh"))
+                                   "mesh", "local_spmd"))
 def _tspace_impl(key, Xf, omega, kappa, w_full,
                  hyp: EdgeHypers, B: int, t_chunk: int = 512,
                  precision: str = "highest",
                  group: int | None = None, psi=None, Jg=None,
-                 Xt=None, mesh=None):
+                 Xt=None, mesh=None, local_spmd: bool = False):
     """Collapsed spike-and-slab for all neurons in residual (T-) space.
 
     Instead of materializing the full (N, P, P) Gram stack (O(N^3 T B^2)
@@ -634,7 +635,8 @@ def _tspace_impl(key, Xf, omega, kappa, w_full,
             and precision in ("default", "sr", "high")
             and GB % 8 == 0 and B <= 8 and T >= 384
             and tc_eff * npad <= 1024 * 256
-            and _use_pallas_gram() and len(jax.devices()) == 1
+            and _use_pallas_gram()
+            and (len(jax.devices()) == 1 or local_spmd)
             and mesh is None
             and os.environ.get("PYGLM_SS_BACKEND") != "xla"):
         from pyglm_tpu.ops.ss_pallas import resample_spike_slab_fused
@@ -670,7 +672,7 @@ def _tspace_impl(key, Xf, omega, kappa, w_full,
                 and N % mesh.shape.get("neuron", 1) == 0):
             Jg = _gram_shard_map(Xf, omega, B, G, t_chunk, precision,
                                  mesh, pallas_ok)
-        elif pallas_ok and len(jax.devices()) == 1:
+        elif pallas_ok and (len(jax.devices()) == 1 or local_spmd):
             from pyglm_tpu.ops.gram_pallas import (
                 group_gram_blocks_pallas, group_gram_blocks_pallas_t)
             if Xt is not None:

@@ -157,10 +157,10 @@ def crt_sample(key, y, r, max_y: int):
     # Fused kernel on single-chip TPU (max_y rng/compare passes fuse to one
     # VMEM loop); XLA path elsewhere and under a mesh.
     import os
+    from pyglm_tpu.parallel.sharding import active_mesh, in_local_spmd
     if (os.environ.get("PYGLM_PG_BACKEND") != "xla"
             and jax.devices()[0].platform == "tpu"
-            and len(jax.devices()) == 1):
-        from pyglm_tpu.parallel.sharding import active_mesh
+            and (len(jax.devices()) == 1 or in_local_spmd())):
         if active_mesh() is None:
             from pyglm_tpu.ops.pg_pallas import crt_sample_pallas
             return crt_sample_pallas(key, y, r, max_y)

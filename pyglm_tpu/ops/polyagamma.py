@@ -339,6 +339,11 @@ def pg_normal_approx(key, b, c):
     return jnp.maximum(x, 1e-30)
 
 
+# Sentinel default: "read the trace-time context" (active_mesh /
+# in_local_spmd). Distinct from None, which means "no mesh, not local".
+_READ_CONTEXT = object()
+
+
 def _mesh_shardable(c, mesh) -> bool:
     return (c.ndim == 2
             and c.shape[0] % mesh.shape.get("time", 1) == 0
@@ -368,7 +373,8 @@ def _shard_map_elementwise(draw_fn, key, mesh, *arrs):
         out_specs=spec, check_vma=False)(key, *arrs)
 
 
-def pg_draw_unit(key, c, backend: str = "auto"):
+def pg_draw_unit(key, c, backend: str = "auto", mesh=_READ_CONTEXT,
+                 local=_READ_CONTEXT):
     """PG(1, c) with automatic backend dispatch.
 
     "auto": the fused Pallas fast-pass + exact continuation on TPU — under
@@ -376,8 +382,17 @@ def pg_draw_unit(key, c, backend: str = "auto"):
     per-shard inside jax.shard_map; the pure-XLA masked-while sampler on
     CPU (also per-shard under a CPU mesh, which is how the sharding tests
     exercise the wrapper). Override with PYGLM_PG_BACKEND=xla|pallas.
+
+    mesh/local default to the trace-time context (active_mesh /
+    in_local_spmd); jitted callers that cache across contexts must pass
+    them explicitly as static arguments (see _polya_gamma_impl).
     """
     import os
+    from pyglm_tpu.parallel.sharding import active_mesh, in_local_spmd
+    if mesh is _READ_CONTEXT:
+        mesh = active_mesh()
+    if local is _READ_CONTEXT:
+        local = in_local_spmd()
     env = os.environ.get("PYGLM_PG_BACKEND")
     if env:
         backend = env
@@ -385,8 +400,6 @@ def pg_draw_unit(key, c, backend: str = "auto"):
     on_tpu = devs[0].platform == "tpu"
     if backend == "auto":
         backend = "pallas" if on_tpu else "xla"
-    from pyglm_tpu.parallel.sharding import active_mesh
-    mesh = active_mesh()
     use_pallas = backend == "pallas" and on_tpu
     if (mesh is not None and mesh.devices.size > 1
             and _mesh_shardable(c, mesh)):
@@ -394,7 +407,9 @@ def pg_draw_unit(key, c, backend: str = "auto"):
             from pyglm_tpu.ops.pg_pallas import pg_devroye_pallas
             return _shard_map_elementwise(pg_devroye_pallas, key, mesh, c)
         return _shard_map_elementwise(pg_devroye, key, mesh, c)
-    if use_pallas and len(devs) == 1:
+    # `local`: tracing inside a single-device shard_map body (chain-axis
+    # parallelism) — the direct kernel is safe, each shard IS one device.
+    if use_pallas and (len(devs) == 1 or local):
         from pyglm_tpu.ops.pg_pallas import pg_devroye_pallas
         return pg_devroye_pallas(key, c)
     # Multi-device without a mesh context: GSPMD shards the XLA sampler.
@@ -407,7 +422,6 @@ def pg_draw_unit(key, c, backend: str = "auto"):
 _NORMAL_CUTOFF = 170.0
 
 
-@partial(jax.jit, static_argnames=("method", "K"))
 def polya_gamma(key, b, c, method: str = "auto", K: int = 4):
     """Hybrid PG(b, c) sampler — analog of ``pgdrawv``/``pgdrawvpar``.
 
@@ -420,7 +434,19 @@ def polya_gamma(key, b, c, method: str = "auto", K: int = 4):
       "devroye" — exact PG(1, c) (b must be all ones).
       "gamma"   — gamma-series for all elements.
       "normal"  — normal approximation for all elements.
+
+    The sharding context (active mesh / local-spmd flag) is captured as a
+    STATIC jit argument, so traces made under different contexts can never
+    be served from each other's cache (same discipline as
+    weights.resample_spike_slab_tspace).
     """
+    from pyglm_tpu.parallel.sharding import active_mesh, in_local_spmd
+    return _polya_gamma_impl(key, b, c, method=method, K=K,
+                             mesh=active_mesh(), local=in_local_spmd())
+
+
+@partial(jax.jit, static_argnames=("method", "K", "mesh", "local"))
+def _polya_gamma_impl(key, b, c, method: str, K: int, mesh, local: bool):
     b = jnp.asarray(b, jnp.float32)
     c = jnp.asarray(c, jnp.float32)
     shape = jnp.broadcast_shapes(b.shape, c.shape)
@@ -430,7 +456,7 @@ def polya_gamma(key, b, c, method: str = "auto", K: int = 4):
     if method == "devroye":
         return pg_devroye(key, c)
     if method == "gamma":
-        return _gamma_series_dispatch(key, b, c, K)
+        return _gamma_series_dispatch(key, b, c, K, mesh, local)
     if method == "normal":
         return pg_normal_approx(key, b, c)
 
@@ -438,25 +464,31 @@ def polya_gamma(key, b, c, method: str = "auto", K: int = 4):
     out = jnp.where(
         b >= _NORMAL_CUTOFF,
         pg_normal_approx(k1, b, c),
-        _gamma_series_dispatch(k2, jnp.minimum(b, _NORMAL_CUTOFF), c, K),
+        _gamma_series_dispatch(k2, jnp.minimum(b, _NORMAL_CUTOFF), c, K,
+                               mesh, local),
     )
     if method == "auto":
-        out = jnp.where(b == 1.0, pg_draw_unit(k3, c), out)
+        out = jnp.where(b == 1.0, pg_draw_unit(k3, c, mesh=mesh,
+                                               local=local), out)
     return jnp.where(b > 0, out, 0.0)
 
 
-def _gamma_series_dispatch(key, b, c, K):
+def _gamma_series_dispatch(key, b, c, K, mesh=_READ_CONTEXT,
+                           local=_READ_CONTEXT):
     """Fused Pallas gamma-series on TPU (kernel fixed at pg_pallas._GAMMA_K)
     — per-shard inside jax.shard_map under a multi-device mesh — pure-XLA
-    otherwise. Same override env var as pg_draw_unit."""
+    otherwise. Same override env var and context rules as pg_draw_unit."""
     import os
     from pyglm_tpu.ops.pg_pallas import _GAMMA_K
+    from pyglm_tpu.parallel.sharding import active_mesh, in_local_spmd
+    if mesh is _READ_CONTEXT:
+        mesh = active_mesh()
+    if local is _READ_CONTEXT:
+        local = in_local_spmd()
     env = os.environ.get("PYGLM_PG_BACKEND")
     devs = jax.devices()
     use_pallas = (env != "xla" and K == _GAMMA_K
                   and devs[0].platform == "tpu")
-    from pyglm_tpu.parallel.sharding import active_mesh
-    mesh = active_mesh()
     if (mesh is not None and mesh.devices.size > 1
             and _mesh_shardable(c, mesh) and _mesh_shardable(b, mesh)):
         if use_pallas:
@@ -467,7 +499,7 @@ def _gamma_series_dispatch(key, b, c, K):
         return _shard_map_elementwise(
             lambda k, bb, cc: pg_gamma_series(k, bb, cc, K=K),
             key, mesh, b, c)
-    if use_pallas and len(devs) == 1:
+    if use_pallas and (len(devs) == 1 or local):
         from pyglm_tpu.ops.pg_pallas import pg_gamma_series_pallas
         return pg_gamma_series_pallas(key, b, c, K=K)
     return pg_gamma_series(key, b, c, K=K)

@@ -41,6 +41,32 @@ def active_mesh() -> Mesh | None:
     return _ACTIVE_MESH
 
 
+# Trace-time flag: True while tracing the BODY of a shard_map whose shards
+# are single devices (the chain-parallel ensemble/tempering paths). Kernel
+# dispatchers that normally require len(jax.devices()) == 1 for a direct
+# pallas_call (a pallas_call under GSPMD does not shard) may use the direct
+# kernel here: inside shard_map each body executes on exactly one device.
+_LOCAL_SPMD = False
+
+
+def in_local_spmd() -> bool:
+    return _LOCAL_SPMD
+
+
+class local_spmd:
+    """Scoped trace-time marker for single-device shard_map bodies."""
+
+    def __enter__(self):
+        global _LOCAL_SPMD
+        self._prev = _LOCAL_SPMD
+        _LOCAL_SPMD = True
+
+    def __exit__(self, *exc):
+        global _LOCAL_SPMD
+        _LOCAL_SPMD = self._prev
+        return False
+
+
 def make_mesh(n_time: int = 1, n_neuron: int | None = None, devices=None) -> Mesh:
     """Create a ('time', 'neuron') mesh. Defaults to all devices on the
     neuron axis (the embarrassingly-parallel one)."""
@@ -52,6 +78,20 @@ def make_mesh(n_time: int = 1, n_neuron: int | None = None, devices=None) -> Mes
         f"mesh {n_time}x{n_neuron} != {len(devices)} devices")
     dev_array = np.asarray(devices).reshape(n_time, n_neuron)
     return Mesh(dev_array, axis_names=("time", "neuron"))
+
+
+def make_chain_mesh(n_chains: int | None = None, devices=None) -> Mesh:
+    """Create a 1-D ('chain',) mesh for chain-axis data parallelism —
+    independent MCMC chains (fit_ensemble) or tempering rungs
+    (fit_tempered) spread one-per-device group, with the dataset
+    replicated. The embarrassingly-parallel MCMC axis: the Gibbs pass
+    needs ZERO collectives (models/ensemble.py)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_chains is None:
+        n_chains = len(devices)
+    assert len(devices) >= n_chains > 0, (n_chains, len(devices))
+    return Mesh(np.asarray(devices[:n_chains]), axis_names=("chain",))
 
 
 def glm_shardings(mesh: Mesh, state: GLMState, datas: tuple):
