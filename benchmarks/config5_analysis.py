@@ -351,8 +351,14 @@ def run_anneal(args):
     from pyglm_tpu.ops.polyagamma import polya_gamma
     from pyglm_tpu.utils.metrics import link_auc
 
+    from pyglm_tpu.models.observations import _FamilyBase
+
+    # Inherits _FamilyBase so the family satisfies the full observation
+    # protocol the sweep builder calls (ll_cache at add_data,
+    # log_likelihood_sum and resample_aux(cache=) inside the sweep) —
+    # the r4 ll_cache contract broke the bare duck-typed class (ADVICE r4).
     @dataclass(frozen=True)
-    class TemperedBernoulli:
+    class TemperedBernoulli(_FamilyBase):
         name: str = "bernoulli_tempered"
         needs_pg: bool = True
 
@@ -375,7 +381,7 @@ def run_anneal(args):
         def mean(self, psi, aux):
             return jax.nn.sigmoid(psi)
 
-        def resample_aux(self, key, aux, Y, psi):
+        def resample_aux(self, key, aux, Y, psi, cache=None):
             return aux
 
     N, T, S = args.N, args.T, args.sweeps

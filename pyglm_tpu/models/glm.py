@@ -470,8 +470,12 @@ class NonlinearAutoregressiveModel:
         replica-exchange swaps every sweep (models/tempering.py). Returns
         the COLD (β = 1) rung's thinned samples in the same dict contract
         as ``fit_compiled`` ('A','W','bias','lls'), plus the diagnostics
-        'betas' (C,) and 'swap_rate' (C,) — accepted swaps per attempt per
-        rung; healthy ladders sit well above ~0.2.
+        'betas' (C,), 'swap_rate' (C,) — accepted swaps per ATTEMPT per
+        rung (interior rungs attempt every sweep, the two ends only on
+        their parity); healthy ladders sit well above ~0.2 — and
+        'ladder_span' (β_C − β_1), 'sd_ll' (the pilot's measured posterior
+        fluctuation scale; None when betas was given) and 'pilot_sweeps'
+        (the 2×pilot cost a matched-budget comparison must count).
 
         Ladder choice: with ``betas=None`` a short pilot of the standard
         chain measures the posterior fluctuation scale sd(ll) of the
@@ -525,9 +529,13 @@ class NonlinearAutoregressiveModel:
             raise ValueError(
                 f"thin={thin} exceeds max_sweeps_per_launch={cap}")
 
+        sd_ll = None
+        pilot_cost = 0
         if betas is None:
             # Pilot: measure sd(ll) near the posterior on the standard
-            # chain (state/key restored — the pilot is scaffolding).
+            # chain (state/key restored — the pilot is scaffolding). Its
+            # 2*pilot_sweeps sweeps are real compute: matched-budget
+            # comparisons should count them (returned as 'pilot_sweeps').
             state0, key0 = self.state, self._key
             try:
                 pilot = self.fit_compiled(
@@ -536,9 +544,36 @@ class NonlinearAutoregressiveModel:
             finally:
                 self.state, self._key = state0, key0
             sd_ll = float(np.std(pilot["lls"]))
-            betas, _span = suggest_ladder(sd_ll, n_rungs, accept=accept)
+            betas, span = suggest_ladder(sd_ll, n_rungs, accept=accept)
+            pilot_cost = 2 * pilot_sweeps
+            if span < 0.1:
+                import warnings
+                warnings.warn(
+                    f"fit_tempered: the acceptance-feasible ladder is "
+                    f"NARROW — {n_rungs} rungs span only "
+                    f"[{betas[0]:.4f}, 1] (sd(ll)={sd_ll:.1f} bounds the "
+                    f"swap-feasible rung gap at ~{span / (n_rungs - 1):.2e}"
+                    f"). This is the design the config-5 study validated "
+                    f"(it still cuts the cold chain's tau_int; wide "
+                    f"ladders at practical C freeze at ~0 swaps), but if "
+                    f"you expected rungs near a flat beta~0.3 posterior, "
+                    f"this ladder does not provide them — covering "
+                    f"[0.3, 1] at this sd(ll) would need "
+                    f"~{int(np.ceil(0.7 * (n_rungs - 1) / max(span, 1e-12)))}"
+                    f" rungs", stacklevel=2)
         betas = np.asarray(betas, np.float64)
         C = betas.shape[0]
+        assert betas.ndim == 1 and C >= 2, betas.shape
+        # Degenerate rungs fail silently otherwise: PG(beta*b, psi) at
+        # beta <= 0 returns omega = 0, the psi recovery (kappa - u)/omega
+        # goes NaN, and every swap touching the rung rejects — the ladder
+        # quietly loses rungs with no error (ADVICE r4).
+        assert np.all(betas > 0), (
+            f"betas must be positive (got min {betas.min():.4g}); "
+            f"suggest_ladder clamps its auto ladder to a positive floor")
+        assert np.all(np.diff(betas) > 0), "betas must be strictly ascending"
+        assert abs(betas[-1] - 1.0) < 1e-9, (
+            f"the cold rung must run at beta=1 (got betas[-1]={betas[-1]!r})")
 
         if mesh is not None:
             sweep = make_tempered_sweep_sharded(
@@ -564,9 +599,10 @@ class NonlinearAutoregressiveModel:
         def burn_seg(key, st, datas, length):
             def step(s, k):
                 s, d = sweep(k, s, datas)
-                return s, d["swap_accept"]
-            st, acc = jax.lax.scan(step, st, jax.random.split(key, length))
-            return st, acc.sum(axis=0)
+                return s, (d["swap_accept"], d["swap_parity"])
+            st, (acc, par) = jax.lax.scan(
+                step, st, jax.random.split(key, length))
+            return st, acc.sum(axis=0), par.sum()
 
         def sample_seg(key, st, datas, length):
             def one(s, k):
@@ -575,7 +611,8 @@ class NonlinearAutoregressiveModel:
                     lambda ss, kk: sweep(kk, ss, datas), s, ks)
                 return s, (s.A[cold], s.W[cold], s.b[cold],
                            d["log_likelihood"][-1, cold],
-                           d["swap_accept"].sum(axis=0))
+                           d["swap_accept"].sum(axis=0),
+                           d["swap_parity"].sum())
             st, outs = jax.lax.scan(one, st, jax.random.split(key, length))
             return st, outs
 
@@ -584,32 +621,45 @@ class NonlinearAutoregressiveModel:
 
         sw_acc = np.zeros(C, np.float64)
         n_sweeps = 0
+        n_parity1 = 0.0
         left = n_burnin
         while left > 0:
             c = min(left, cap)
             key, k = jax.random.split(key)
-            st, acc = burn_j(k, st, datas, length=c)
+            st, acc, par = burn_j(k, st, datas, length=c)
             sw_acc += np.asarray(acc); n_sweeps += c
+            n_parity1 += float(par)
             left -= c
         out = {"A": [], "W": [], "bias": [], "lls": []}
         left = n_samples
         while left > 0:
             c = min(left, max(1, cap // max(1, thin)))
             key, k = jax.random.split(key)
-            st, (A, W, b, lls, acc) = sample_j(k, st, datas, length=c)
+            st, (A, W, b, lls, acc, par) = sample_j(k, st, datas, length=c)
             out["A"].append(np.asarray(A))
             out["W"].append(np.asarray(W))
             out["bias"].append(np.asarray(b))
             out["lls"].append(np.asarray(lls))
             sw_acc += np.asarray(acc).sum(axis=0); n_sweeps += c * thin
+            n_parity1 += float(np.asarray(par).sum())
             left -= c
         res = {k: np.concatenate(v, axis=0) for k, v in out.items()}
-        # Interior rungs attempt one swap per sweep; the two ends only on
-        # their parity (half the sweeps) — normalize to per-attempt rates.
+        # Interior rungs attempt one swap EVERY sweep; only the two end
+        # rungs sit out on the off parity. End attempts use the ACTUAL
+        # parity counts (the parity bit is Bernoulli(1/2) per sweep, so
+        # the expected n/2 would be noisy for short runs — ADVICE r4):
+        # rung 0 pairs rightward on parity 0; rung C-1 pairs leftward on
+        # parity 0 when C is even, parity 1 when C is odd
+        # (models/tempering.py swap_permutation's is_left/partner rule).
+        n_parity0 = n_sweeps - n_parity1
         attempts = np.full(C, max(n_sweeps, 1), np.float64)
-        attempts[0] *= 0.5; attempts[-1] *= 0.5
+        attempts[0] = max(n_parity0, 1.0)
+        attempts[-1] = max(n_parity0 if C % 2 == 0 else n_parity1, 1.0)
         res["swap_rate"] = sw_acc / attempts
         res["betas"] = betas
+        res["ladder_span"] = float(betas[-1] - betas[0])
+        res["sd_ll"] = sd_ll          # None unless the auto-ladder pilot ran
+        res["pilot_sweeps"] = pilot_cost
         return res
 
     def copy_sample(self):

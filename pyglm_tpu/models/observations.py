@@ -227,6 +227,13 @@ class NegativeBinomial(_FamilyBase):
             return {"counts": counts.astype(jnp.float32)}
         import numpy as np
         Yn = np.asarray(Y).astype(np.int64)
+        # Counts above max_y would silently vanish from the table, biasing
+        # BOTH the LL normalizer and the collapsed-CRT r update that
+        # consume it (ADVICE r4). add_data raises first with a friendlier
+        # message; this guards any other concrete-data caller.
+        assert Yn.max() <= self.max_y, (
+            f"observed count {Yn.max()} exceeds max_y={self.max_y}; "
+            f"construct the family with a larger max_y")
         counts = np.stack(
             [np.bincount(Yn[:, j], minlength=K)[:K]
              for j in range(Yn.shape[1])], axis=1)

@@ -78,19 +78,38 @@ def swap_permutation(key, lls, betas):
     return perm, accept.astype(jnp.float32), parity
 
 
-def suggest_ladder(sd_ll, C, accept=0.3, beta_max=1.0):
-    """Geometric-in-(1-beta)... no: uniform-Delta ladder sized so adjacent
-    swaps accept at roughly `accept`, given the measured posterior standard
-    deviation of the untempered log-likelihood.
+def suggest_ladder(sd_ll, C, accept=0.3, beta_max=1.0, beta_floor=0.05):
+    """Uniform-Δβ ladder sized so adjacent swaps accept at roughly
+    `accept`, given the measured posterior standard deviation of the
+    untempered log-likelihood.
 
     Adjacent acceptance ~ E min(1, e^{dbeta * dll}) with dll ~ N(0-ish,
     ~2 sd_ll^2) between independent rungs, giving accept ~
     erfc(dbeta * sd_ll / 2); invert for dbeta. Returns (betas (C,),
     feasible_span = dbeta * (C-1)) — if feasible_span < the range you
     wanted to cover, PT cannot both accept and span at this C.
+
+    When sd_ll is small (a few nats — tiny datasets), the acceptance-
+    targeted Δβ can push β_1 to zero or below, where the power posterior
+    degenerates (PG(0, ψ) gives ω = 0 and the ψ recovery divides by it).
+    The ladder is then clamped to span [beta_floor, beta_max] — every
+    rung stays a proper posterior and adjacent acceptance comes out
+    HIGHER than requested, which is harmless — with a warning that the
+    requested accept/C pair was infeasible.
     """
     from scipy.special import erfcinv
     dbeta = 2.0 * erfcinv(accept) / max(float(sd_ll), 1e-12)
+    if dbeta * (C - 1) > beta_max - beta_floor:
+        import warnings
+        dbeta_c = (beta_max - beta_floor) / max(C - 1, 1)
+        warnings.warn(
+            f"suggest_ladder: the acceptance-targeted rung gap "
+            f"dbeta={dbeta:.4g} would drive beta_1 to "
+            f"{beta_max - dbeta * (C - 1):.4g} <= 0-ish at C={C}; "
+            f"clamping the ladder to [{beta_floor}, {beta_max}] "
+            f"(gap {dbeta_c:.4g}, adjacent acceptance above the requested "
+            f"{accept})", stacklevel=2)
+        dbeta = dbeta_c
     betas = beta_max - dbeta * np.arange(C - 1, -1, -1)
     return np.asarray(betas, np.float64), float(dbeta * (C - 1))
 

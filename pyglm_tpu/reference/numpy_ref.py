@@ -69,10 +69,15 @@ def _trunc_inv_gauss(rng, z):
         accA = useA & okA & (rng.rand(idx.size) <= np.exp(-0.5 * zz ** 2 * XA))
         mu = 1.0 / np.maximum(zz, 1e-300)
         Yn = rng.randn(idx.size) ** 2
-        muY = mu * Yn
-        XB = mu + 0.5 * mu * muY - 0.5 * mu * np.sqrt(4 * muY + muY ** 2)
-        XB = np.where(rng.rand(idx.size) <= mu / (mu + XB), XB,
-                      mu ** 2 / np.maximum(XB, 1e-300))
+        # errstate: at z ~ 0, mu ~ 1e300 and mu**2 / XB overflows to inf;
+        # the inf branch is rejected by `XB <= _T` below, so the overflow
+        # is statistically harmless — but the trusted oracle should run
+        # warning-clean under the gatekeeper suites (VERDICT r4 weak #6).
+        with np.errstate(over="ignore"):
+            muY = mu * Yn
+            XB = mu + 0.5 * mu * muY - 0.5 * mu * np.sqrt(4 * muY + muY ** 2)
+            XB = np.where(rng.rand(idx.size) <= mu / (mu + XB), XB,
+                          mu ** 2 / np.maximum(XB, 1e-300))
         accB = (~useA) & (XB <= _T)
         acc = accA | accB
         X[idx[acc]] = np.where(accA, XA, XB)[acc]

@@ -78,11 +78,55 @@ def test_fit_tempered_contract():
     assert out["lls"].shape == (30,)
     assert np.isfinite(out["lls"]).all()
     assert np.allclose(out["betas"], betas)
-    # per-attempt rates: in [0, 1] up to end-rung parity MC noise
+    # per-attempt rates: EXACT attempt counts (actual parity tallies for
+    # the end rungs), so every rate is a true probability in [0, 1]
     assert out["swap_rate"].shape == (4,)
-    assert np.all(out["swap_rate"] >= 0) and np.all(out["swap_rate"] < 1.5)
+    assert np.all(out["swap_rate"] >= 0) and np.all(out["swap_rate"] <= 1.0)
     # a 0.01-gap ladder at this tiny model's sd(ll) accepts often
     assert out["swap_rate"][1:-1].mean() > 0.05, out["swap_rate"]
+    assert out["ladder_span"] == pytest.approx(betas[-1] - betas[0])
+    assert out["sd_ll"] is None and out["pilot_sweeps"] == 0
+
+
+def test_suggest_ladder_clamps_infeasible():
+    """Tiny sd(ll): the acceptance-targeted gap would push beta_1 <= 0;
+    the ladder must clamp to a positive floor and warn (ADVICE r4)."""
+    with pytest.warns(UserWarning, match="clamping"):
+        betas, span = suggest_ladder(2.0, 8, accept=0.3)
+    assert np.all(betas > 0) and betas[-1] == 1.0
+    assert np.all(np.diff(betas) > 0)
+
+
+def test_fit_tempered_validates_betas():
+    true = _make_model(seed=42)
+    Y = true.generate(300, keep=False)
+    m = _make_model(seed=0)
+    m.add_data(Y)
+    with pytest.raises(AssertionError, match="positive"):
+        m.fit_tempered(n_samples=4, betas=np.asarray([-0.1, 0.5, 1.0]))
+    with pytest.raises(AssertionError, match="ascending"):
+        m.fit_tempered(n_samples=4, betas=np.asarray([1.0, 0.5, 0.2]))
+    with pytest.raises(AssertionError, match="beta=1"):
+        m.fit_tempered(n_samples=4, betas=np.asarray([0.5, 0.9]))
+
+
+def test_fit_tempered_warns_on_narrow_auto_ladder():
+    """A large-sd(ll) posterior makes the pilot-chosen ladder narrow; the
+    user must be told the feasible span (VERDICT r4 weak #4). sd(ll) scales
+    like sqrt(d_eff/2), so only big models produce this naturally — stub
+    the pilot to return a config-5-scale fluctuation instead."""
+    true = _make_model(seed=42)
+    Y = true.generate(300, keep=False)
+    m = _make_model(seed=0)
+    m.add_data(Y)
+    lls = np.tile(np.asarray([-1000.0, 1000.0]), 20)     # sd(ll) = 1000
+    m.fit_compiled = lambda **kw: {"lls": lls}
+    with pytest.warns(UserWarning, match="NARROW"):
+        out = m.fit_tempered(n_samples=8, n_burnin=4, n_rungs=3,
+                             pilot_sweeps=30)
+    assert out["sd_ll"] == pytest.approx(1000.0)
+    assert out["pilot_sweeps"] == 60
+    assert 0 < out["ladder_span"] < 0.01
 
 
 _NB_NET = dict(rho_init=0.2, learn_rho=False, mu_bias=-2.5,
