@@ -401,10 +401,14 @@ class NonlinearAutoregressiveModel:
         from parallel.sharding.make_chain_mesh) to spread the stacked
         chains one-group-per-device with the data replicated — M devices
         give M× aggregate chain throughput with zero collectives in the
-        Gibbs pass (models/ensemble.py make_stacked_sweep_sharded). The
-        model itself must be unsharded (chain parallelism replicates the
-        dataset; shard() parallelism splits it — compose by chains first
-        when the data fits per device).
+        Gibbs pass (models/ensemble.py make_stacked_sweep_sharded). To
+        COMPOSE chain parallelism with data parallelism (big models whose
+        per-chain sweep itself needs sharding), pass a 3-D
+        ('chain','time','neuron') mesh from
+        parallel.sharding.make_chain_data_mesh instead: chains spread
+        over chain groups AND each group's sweep runs neuron/time-sharded
+        (make_stacked_sweep_gspmd). Either way the model itself must be
+        unsharded — the mesh carries all the parallelism.
 
         Returns a dict with stacked per-chain samples 'A' (C,S,N,N),
         'W' (C,S,N,N,B), 'bias' (C,S,N), 'lls' (C,S), plus
@@ -509,10 +513,16 @@ class NonlinearAutoregressiveModel:
         collective-free and the swap moves only the (C,) log-likelihoods
         plus the accepted rung states over ICI, so a whole ladder costs
         about one rung of wall time on an M=C slice
-        (models/tempering.py make_tempered_sweep_sharded).
+        (models/tempering.py make_tempered_sweep_sharded). A 3-D
+        ('chain','time','neuron') mesh (make_chain_data_mesh) COMPOSES
+        the ladder with data parallelism: rungs over chain groups, each
+        rung's Gibbs pass neuron/time-sharded
+        (make_tempered_sweep_gspmd) — the config-5-scale model with a
+        ladder on one slice.
         """
         from pyglm_tpu.models.tempering import (init_tempered_states,
                                                 make_tempered_sweep,
+                                                make_tempered_sweep_gspmd,
                                                 make_tempered_sweep_sharded,
                                                 suggest_ladder)
 
@@ -575,7 +585,16 @@ class NonlinearAutoregressiveModel:
         assert abs(betas[-1] - 1.0) < 1e-9, (
             f"the cold rung must run at beta=1 (got betas[-1]={betas[-1]!r})")
 
-        if mesh is not None:
+        composed = mesh is not None and bool(
+            set(mesh.shape) & {"time", "neuron"})
+        if composed:
+            # 3-D chain-data mesh: rungs over chain groups, each rung's
+            # Gibbs pass neuron/time-sharded (make_chain_data_mesh).
+            sweep = make_tempered_sweep_gspmd(
+                self.observation, self.network, self.N, self.B, betas,
+                mesh, spike_slab=self.spike_and_slab,
+                t_chunk=self._t_chunk, precision=self._precision)
+        elif mesh is not None:
             sweep = make_tempered_sweep_sharded(
                 self.observation, self.network, self.N, self.B, betas,
                 mesh, spike_slab=self.spike_and_slab,
@@ -587,7 +606,12 @@ class NonlinearAutoregressiveModel:
                 precision=self._precision)
         st = init_tempered_states(self, betas, seeds=seeds)
         datas = tuple(self.datas)
-        if mesh is not None:
+        if composed:
+            from pyglm_tpu.models.ensemble import chain_data_shardings
+            state_sh, data_sh = chain_data_shardings(mesh, st, datas)
+            st = jax.device_put(st, state_sh)
+            datas = jax.device_put(datas, data_sh)
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             st = jax.device_put(st, jax.tree.map(
                 lambda _: NamedSharding(mesh, P("chain")), st))

@@ -279,6 +279,61 @@ def make_tempered_sweep_sharded(obs, network, N: int, B: int, betas, mesh,
     return sweep
 
 
+def make_tempered_sweep_gspmd(obs, network, N: int, B: int, betas, mesh,
+                              spike_slab: bool = True, t_chunk: int = 512,
+                              precision: str = "high"):
+    """The C-rung tempering sweep under a composed 3-D
+    ('chain','time','neuron') mesh (parallel.sharding.make_chain_data_mesh):
+    rungs spread over chain groups AND each rung's Gibbs pass runs
+    neuron/time-sharded — the ladder on a SHARDED model (VERDICT r4
+    missing #3). Same mechanism as ensemble.make_stacked_sweep_gspmd: the
+    tempered pass is lane-parallel over the C*N rung-stacked postsyn
+    lanes, so it traces with the 3-D mesh as the active context and the
+    kernel dispatchers partition lanes over ('chain','neuron') / psum
+    stats over 'time'. The swap gathers the (C,) untempered lls and the
+    accepted permutation moves rung states between chain groups — GSPMD
+    lowers x[perm] to the needed collective. Same conditionals and swap
+    rule as make_tempered_sweep. Reference analog: none (SURVEY.md §3.5).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pyglm_tpu.parallel.sharding import active_mesh, set_active_mesh
+
+    blocker = obs.tempering_blocker()
+    assert blocker is None, blocker
+    betas = jnp.asarray(betas, jnp.float32)
+    C = betas.shape[0]
+    n_chain = mesh.shape.get("chain", 1)
+    assert C % n_chain == 0, (
+        f"n_rungs={C} must be divisible by the chain mesh axis {n_chain}")
+    assert N % mesh.shape.get("neuron", 1) == 0, (
+        f"N={N} must be divisible by the neuron mesh axis "
+        f"{mesh.shape.get('neuron', 1)}")
+    gibbs = _make_tempered_pass(obs, network, N, B, C, spike_slab,
+                                t_chunk, precision)
+    csh = NamedSharding(mesh, P("chain"))
+
+    def sweep(key, st: GLMState, datas: tuple):
+        k_pg, k_w, k_net, k_swap = jax.random.split(key, 4)
+        prev = active_mesh()
+        set_active_mesh(mesh)
+        try:
+            new_st, lls, n_edges = gibbs(k_pg, k_w, k_net, st, datas, betas)
+        finally:
+            set_active_mesh(prev)
+        perm, accept, parity = swap_permutation(k_swap, lls, betas)
+        new_st = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x[perm], csh),
+            new_st)
+        diag = {"log_likelihood": lls[perm], "n_edges": n_edges,
+                "swap_accept": accept, "swap_parity": parity}
+        if hasattr(new_st.net, "hmc_accept"):
+            diag["hmc_accept"] = new_st.net.hmc_accept
+        return new_st, diag
+
+    return sweep
+
+
 def init_tempered_states(model, betas, seeds=None):
     """C prior-initialized chain states stacked on a chain axis, seeded like
     run_stacked_chains so rung trajectories are reproducible."""

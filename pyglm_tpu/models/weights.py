@@ -336,11 +336,14 @@ def _use_pallas_gram() -> bool:
 
 
 def _gram_shard_map(Xf, omega, B, G, t_chunk, precision, mesh, use_pallas):
-    """Group Gram blocks under a ('time','neuron') mesh via jax.shard_map:
-    each device forms its local time-slice Gram (Pallas kernel on TPU
-    shards, the XLA scan elsewhere) and the time axis psums — the stats
-    are associative sums over t (SURVEY.md §2.4 seq-parallel row)."""
+    """Group Gram blocks under a mesh via jax.shard_map: each device forms
+    its local time-slice Gram (Pallas kernel on TPU shards, the XLA scan
+    elsewhere) and the time axis psums — the stats are associative sums
+    over t (SURVEY.md §2.4 seq-parallel row). The lane (postsyn) axis
+    shards over 'neuron', or jointly over ('chain','neuron') on a composed
+    chain-data mesh (parallel.sharding.lane_axes)."""
     from jax.sharding import PartitionSpec as P
+    from pyglm_tpu.parallel.sharding import lane_axes
 
     def fn(xf, om):
         if use_pallas:
@@ -352,10 +355,11 @@ def _gram_shard_map(Xf, omega, B, G, t_chunk, precision, mesh, use_pallas):
                                    precision=precision)
         return lax.psum(Jl, "time")
 
+    lanes = lane_axes(mesh)
     return jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P("time", None), P("time", "neuron")),
-        out_specs=P(None, "neuron", None, None), check_vma=False)(Xf, omega)
+        in_specs=(P("time", None), P("time", lanes)),
+        out_specs=P(None, lanes, None, None), check_vma=False)(Xf, omega)
 
 
 def _ss_fused_shard_map(key, Xt, omega, kappa, psi, w_full, hyp: EdgeHypers,
@@ -370,11 +374,18 @@ def _ss_fused_shard_map(key, Xt, omega, kappa, psi, w_full, hyp: EdgeHypers,
     and the collapsed edge scan (_group_edge_scan, the same Geweke-tested
     conditionals as the staged path) runs replicated across time shards on
     each device's local postsyn lanes. RNG: the key is folded with the
-    neuron-shard index, so postsyn draws are independent across neuron
+    lane-shard index, so postsyn draws are independent across lane
     shards and bit-identical across time shards (their scatters agree).
+
+    The postsyn-lane axis shards over 'neuron', or jointly over
+    ('chain','neuron') on a composed chain-data mesh — the whole update is
+    lane-parallel, so a chain-stacked lane axis (models/ensemble.py) rides
+    the identical kernel; only the lane count and partition axes change
+    (parallel.sharding.lane_axes).
     """
     from jax.sharding import PartitionSpec as PS
     from pyglm_tpu.ops.ss_pallas import ss_group_pass_pallas, ss_group_pass_tc
+    from pyglm_tpu.parallel.sharding import lane_axes, lane_count, lane_index
 
     T, N = omega.shape
     Pdim = w_full.shape[0]
@@ -382,7 +393,8 @@ def _ss_fused_shard_map(key, Xt, omega, kappa, psi, w_full, hyp: EdgeHypers,
     Ng = N_pre // G
     GB = G * B
     n_time = mesh.shape.get("time", 1)
-    n_neuron = mesh.shape.get("neuron", 1)
+    lanes = lane_axes(mesh)
+    n_neuron = lane_count(mesh)
     Tl = T // n_time
     Nl = N // n_neuron
     use_pallas = (_use_pallas_gram() and GB % 8 == 0 and B <= 8
@@ -419,8 +431,7 @@ def _ss_fused_shard_map(key, Xt, omega, kappa, psi, w_full, hyp: EdgeHypers,
         return u_new, M0, Jgg.reshape(GB, GB, Nl).transpose(2, 0, 1)
 
     def shard_fn(k, xt, om, ka, ps, w, mu, lam, lrho, mu_b, lam_b):
-        n_idx = lax.axis_index("neuron")
-        k = jax.random.fold_in(k, n_idx)
+        k = jax.random.fold_in(k, lane_index(mesh))
         keys = jax.random.split(k, Ng + 1)
         u = ka - om * ps
         C0 = chol_small(lam)                          # (Npre, Nl, B, B)
@@ -496,13 +507,13 @@ def _ss_fused_shard_map(key, Xt, omega, kappa, psi, w_full, hyp: EdgeHypers,
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(PS(), PS(None, "time"), PS("time", "neuron"),
-                  PS("time", "neuron"), PS("time", "neuron"),
-                  PS(None, "neuron"), PS(None, "neuron", None),
-                  PS(None, "neuron", None, None), PS(None, "neuron"),
-                  PS("neuron"), PS("neuron")),
-        out_specs=(PS(None, "neuron"), PS(None, "neuron"),
-                   PS("time", "neuron"), PS("neuron")),
+        in_specs=(PS(), PS(None, "time"), PS("time", lanes),
+                  PS("time", lanes), PS("time", lanes),
+                  PS(None, lanes), PS(None, lanes, None),
+                  PS(None, lanes, None, None), PS(None, lanes),
+                  PS(lanes), PS(lanes)),
+        out_specs=(PS(None, lanes), PS(None, lanes),
+                   PS("time", lanes), PS(lanes)),
         check_vma=False)
     return fn(key, Xt, omega, kappa, psi, w_full, hyp.mu, hyp.Lam,
               hyp.logit_rho, hyp.mu_b, hyp.lam_b)
@@ -586,6 +597,7 @@ def _tspace_impl(key, Xf, omega, kappa, w_full,
     # (VERDICT r2 item #1).
     if (mesh is not None and Jg is None
             and os.environ.get("PYGLM_SS_BACKEND") != "xla"):
+        from pyglm_tpu.parallel.sharding import lane_count
         reasons = []
         if Xt is None:
             reasons.append("no transposed design (Xt) was registered")
@@ -595,10 +607,10 @@ def _tspace_impl(key, Xf, omega, kappa, w_full,
             reasons.append(
                 f"T={T} is not divisible by the mesh time axis "
                 f"{mesh.shape.get('time', 1)}")
-        if N % mesh.shape.get("neuron", 1) != 0:
+        if N % lane_count(mesh) != 0:
             reasons.append(
-                f"N={N} is not divisible by the mesh neuron axis "
-                f"{mesh.shape.get('neuron', 1)}")
+                f"{N} postsyn lanes are not divisible by the mesh lane "
+                f"axes ({lane_count(mesh)} devices)")
         if not reasons:
             LAST_SS_PATH = "mesh_fused"
             return _ss_fused_shard_map(key, Xt, omega, kappa, psi, w_full,
@@ -667,9 +679,13 @@ def _tspace_impl(key, Xf, omega, kappa, w_full,
         # fused ss_pallas kernels, which 'sr' models normally take.)
         pallas_ok = (_use_pallas_gram() and GB % 8 == 0
                      and precision in ("default", "sr", "high"))
-        if (mesh is not None and mesh.devices.size > 1
-                and T % mesh.shape.get("time", 1) == 0
-                and N % mesh.shape.get("neuron", 1) == 0):
+        if mesh is not None and mesh.devices.size > 1:
+            from pyglm_tpu.parallel.sharding import lane_count
+            mesh_ok = (T % mesh.shape.get("time", 1) == 0
+                       and N % lane_count(mesh) == 0)
+        else:
+            mesh_ok = False
+        if mesh_ok:
             Jg = _gram_shard_map(Xf, omega, B, G, t_chunk, precision,
                                  mesh, pallas_ok)
         elif pallas_ok and (len(jax.devices()) == 1 or local_spmd):

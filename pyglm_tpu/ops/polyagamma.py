@@ -343,28 +343,44 @@ def pg_normal_approx(key, b, c):
 # in_local_spmd). Distinct from None, which means "no mesh, not local".
 _READ_CONTEXT = object()
 
+# Trace-time record of which gamma-series implementation the last
+# _gamma_series_dispatch call compiled into ("pallas" | "xla" |
+# "shard_map_pallas" | "shard_map_xla") — a test hook so suites can assert
+# the intended kernel actually engaged (the SS analog is
+# models/weights.py LAST_SS_PATH).
+LAST_GAMMA_PATH = None
+
 
 def _mesh_shardable(c, mesh) -> bool:
+    from pyglm_tpu.parallel.sharding import lane_count
     return (c.ndim == 2
             and c.shape[0] % mesh.shape.get("time", 1) == 0
-            and c.shape[1] % mesh.shape.get("neuron", 1) == 0)
+            and c.shape[1] % lane_count(mesh) == 0)
 
 
 def _shard_map_elementwise(draw_fn, key, mesh, *arrs):
     """Run an elementwise sampler per mesh shard via jax.shard_map.
 
     A pallas_call inside a GSPMD-partitioned jit does not shard, so under a
-    mesh each device runs the kernel on its local (time, neuron) tile with
-    a per-shard fold of the key (SURVEY.md §2.4 comm row).
+    mesh each device runs the kernel on its local (time, lanes) tile with
+    a per-shard fold of the key (SURVEY.md §2.4 comm row). The lane axis
+    shards over the mesh's lane axes — 'neuron' on a data mesh, jointly
+    ('chain','neuron') on a composed chain-data mesh
+    (parallel.sharding.lane_axes).
     """
     from jax.sharding import PartitionSpec as P
-    n_neuron = mesh.shape.get("neuron", 1)
+    from pyglm_tpu.parallel.sharding import lane_axes
+    lanes = lane_axes(mesh)
+
+    idx_axes = (("time",) if "time" in mesh.shape else ()) + lanes
 
     def fn(k, *local):
-        idx = (lax.axis_index("time") * n_neuron + lax.axis_index("neuron"))
+        idx = jnp.int32(0)
+        for a in idx_axes:
+            idx = idx * mesh.shape[a] + lax.axis_index(a)
         return draw_fn(jax.random.fold_in(k, idx), *local)
 
-    spec = P("time", "neuron")
+    spec = P("time" if "time" in mesh.shape else None, lanes)
     # check_vma=False: the samplers' masked while_loops mix replicated
     # (key-derived) and shard-varying carries, which the vma analysis
     # rejects; there are no collectives inside, so the check buys nothing.
@@ -489,17 +505,22 @@ def _gamma_series_dispatch(key, b, c, K, mesh=_READ_CONTEXT,
     devs = jax.devices()
     use_pallas = (env != "xla" and K == _GAMMA_K
                   and devs[0].platform == "tpu")
+    global LAST_GAMMA_PATH
     if (mesh is not None and mesh.devices.size > 1
             and _mesh_shardable(c, mesh) and _mesh_shardable(b, mesh)):
         if use_pallas:
             from pyglm_tpu.ops.pg_pallas import pg_gamma_series_pallas
+            LAST_GAMMA_PATH = "shard_map_pallas"
             return _shard_map_elementwise(
                 lambda k, bb, cc: pg_gamma_series_pallas(k, bb, cc, K=K),
                 key, mesh, b, c)
+        LAST_GAMMA_PATH = "shard_map_xla"
         return _shard_map_elementwise(
             lambda k, bb, cc: pg_gamma_series(k, bb, cc, K=K),
             key, mesh, b, c)
     if use_pallas and (len(devs) == 1 or local):
         from pyglm_tpu.ops.pg_pallas import pg_gamma_series_pallas
+        LAST_GAMMA_PATH = "pallas"
         return pg_gamma_series_pallas(key, b, c, K=K)
+    LAST_GAMMA_PATH = "xla"
     return pg_gamma_series(key, b, c, K=K)

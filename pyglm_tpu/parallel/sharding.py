@@ -94,6 +94,65 @@ def make_chain_mesh(n_chains: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:n_chains]), axis_names=("chain",))
 
 
+def make_chain_data_mesh(n_chain: int, n_time: int = 1,
+                         n_neuron: int | None = None, devices=None) -> Mesh:
+    """Create a 3-D ('chain', 'time', 'neuron') mesh composing chain-axis
+    parallelism with the data-parallel axes: C chains (or tempering rungs)
+    spread over `n_chain` device groups, each group running the
+    time/neuron-sharded sweep over its ('time', 'neuron') sub-grid.
+
+    This is the config-5 multi-chip story (an N=500 neuron/time-sharded
+    model) combined with the round-4 ladder/ensemble machinery: pass the
+    mesh to ``fit_ensemble(mesh=...)`` / ``fit_tempered(mesh=...)`` —
+    those paths stack chains on postsynaptic lanes (models/ensemble.py),
+    so the lane axis shards jointly over ('chain', 'neuron') while the
+    sufficient-statistic reductions psum over 'time' (the lane kernels
+    are chain-agnostic: a lane is a lane). Requires C divisible by
+    n_chain, N by n_neuron, and T by n_time."""
+    if devices is None:
+        devices = jax.devices()
+    if n_neuron is None:
+        n_neuron = len(devices) // (n_chain * n_time)
+    n = n_chain * n_time * n_neuron
+    assert 0 < n <= len(devices), (n_chain, n_time, n_neuron, len(devices))
+    dev_array = np.asarray(devices[:n]).reshape(n_chain, n_time, n_neuron)
+    return Mesh(dev_array, axis_names=("chain", "time", "neuron"))
+
+
+def lane_axes(mesh: Mesh) -> tuple:
+    """Mesh axes that shard the POSTSYN-LANE dimension of the sweep's
+    (T, lanes) arrays, major -> minor. On a ('time','neuron') mesh lanes
+    are neurons; on a ('chain','time','neuron') mesh the lane axis is the
+    chain-major C*N stack (models/ensemble.py _to_lanes), so it shards
+    jointly over ('chain','neuron') — PartitionSpec tuple entries split
+    an array axis over several mesh axes in exactly that major/minor
+    order. The lane kernels (PG draws, Gram blocks, the fused
+    spike-and-slab pass) are lane-agnostic, so a device's lane block may
+    even straddle two chains; only the per-chain reductions (network
+    resample, swap moves) care, and those run outside the lane kernels."""
+    return tuple(a for a in ("chain", "neuron") if a in mesh.shape)
+
+
+def lane_count(mesh: Mesh) -> int:
+    """Total number of devices sharding the postsyn-lane axis."""
+    n = 1
+    for a in lane_axes(mesh):
+        n *= mesh.shape[a]
+    return n
+
+
+def lane_index(mesh: Mesh):
+    """Inside a shard_map body over `mesh`: the linear index of this
+    device's lane shard (row-major over the lane axes), for RNG folds.
+    Time shards deliberately share the index — their lane draws must be
+    bit-identical (the edge scan runs replicated across time shards)."""
+    import jax.numpy as jnp
+    idx = jnp.int32(0)
+    for a in lane_axes(mesh):
+        idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+    return idx
+
+
 def glm_shardings(mesh: Mesh, state: GLMState, datas: tuple):
     """NamedShardings for (key, state, datas) of the sweep signature.
 
