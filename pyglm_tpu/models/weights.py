@@ -532,6 +532,55 @@ def _auto_group(N_pre: int, B: int = 4) -> int:
     return min(divs, key=lambda g: (abs(g - 5), -g))
 
 
+# Scoped-vmem budget for the monolithic fused kernel (ops/ss_pallas.py).
+# Mosaic's per-kernel stack limit is 16 MB; the estimator below slightly
+# OVERSTATES the compiler's accounting (measured 19.5 MB estimated vs
+# 16.91 MB compiled at G=10, B=4, npad=2048, tc=128 — the one shape that
+# OOM'd in round 5), so a 15.5 MB cap on the estimate keeps ~3 MB of real
+# headroom.
+_FUSED_VMEM_CAP = int(15.5 * 2 ** 20)
+
+
+def _fused_vmem_bytes(G: int, B: int, npad: int, tc: int) -> int:
+    """Estimate the fused kernel's scoped-vmem stack: double-buffered
+    input/output blocks (the tc-wide design/omega/residual streams and the
+    npad-wide hyper/weight slabs) plus the single-buffered scratch, whose
+    dominant term is the per-group Gram triangle G(G+1)/2 * B^2 rows of
+    npad lanes. All f32 (bf16 streams only shrink this, so the estimate
+    stays conservative)."""
+    GB = G * B
+    G8 = -(-G // 8) * 8
+    streams = 2 * 4 * (2 * GB * tc + 3 * tc * npad)     # Xt x2, om, u in/out
+    slabs = 2 * 4 * npad * (3 * GB + G * B * B + 2 * G8 + 8)
+    scratch = 4 * npad * (G * (G + 1) // 2 * B * B + 2 * GB)
+    return streams + slabs + scratch
+
+
+def _fused_plan(N_pre: int, B: int, npad: int, t_chunk: int,
+                group: int | None = None):
+    """Choose (G, tc) for the monolithic fused spike-and-slab kernel so its
+    scoped-vmem stack fits, or None when no choice does (wide lane counts:
+    the tc=128 minimum stream alone exceeds the cap around npad ~ 4096).
+    Groups are tried in _auto_group's preference order (nearest 8, Pallas-
+    aligned); within a group the largest time chunk <= max(t_chunk, 1024)
+    wins — 1024-row chunks measured ~1.5-2 ms/sweep faster than 512 at
+    flagship scale. A caller-pinned ``group`` is respected (only its tc is
+    searched)."""
+    if group is not None:
+        gs = [group]
+    else:
+        gs = sorted((g for g in range(1, min(16, N_pre) + 1)
+                     if N_pre % g == 0 and (g * B) % 8 == 0),
+                    key=lambda g: (abs(g - 8), -g))
+    for g in gs:
+        tc = max(t_chunk, 1024)
+        while tc >= 128:
+            if _fused_vmem_bytes(g, B, npad, tc) <= _FUSED_VMEM_CAP:
+                return g, tc
+            tc //= 2
+    return None
+
+
 def resample_spike_slab_tspace(key, Xf, omega, kappa, w_full,
                                hyp: EdgeHypers, B: int, t_chunk: int = 512,
                                precision: str = "highest",
@@ -629,34 +678,31 @@ def _tspace_impl(key, Xf, omega, kappa, w_full,
     # in-kernel edge scan in ONE pallas pass — u/omega/design each streamed
     # once per group (single-chip; the monolithic kernel needs the full
     # time axis resident to interleave its in-kernel edge scan).
-    # 1024-row chunks measured ~1.5-2 ms/sweep faster than 512 at
-    # flagship scale (fewer grid steps amortize the per-step pipeline
-    # work); chunk size only affects the kernel's schedule, not stats.
-    # The kernel's u/omega blocks scale with tc * npad: cap the product
-    # at the flagship-proven 1024 x 256 lanes or wide models (npad 512+,
-    # e.g. N=500) exceed the ~16 MB scoped-vmem limit at compile time.
-    # tc stays a multiple of 128 (Mosaic lane tiling); if even tc = 128
-    # cannot meet the cap (npad > 2048, i.e. N > 1920) the fused kernel
-    # is skipped entirely and the staged path below runs instead.
+    # (G, tc) are co-selected by _fused_plan under a modeled scoped-vmem
+    # budget (_fused_vmem_bytes): the kernel's streams scale with tc*npad
+    # and its Gram-triangle scratch with G^2*B^2*npad, so wide lane counts
+    # (stacked ensembles: npad = C*N padded) take a smaller group and a
+    # 128-row chunk rather than OOM-ing the 16 MB Mosaic stack. When even
+    # G at tc=128 cannot fit (npad ~ 4096+), plan is None and the staged
+    # path below runs instead.
     npad = -(-N // 128) * 128
-    tc_eff = max(t_chunk, 1024)
-    while tc_eff > 128 and tc_eff * npad > 1024 * 256:
-        tc_eff //= 2
+    plan = _fused_plan(N_pre, B, npad, t_chunk, group=group)
 
     if (Xt is not None and Jg is None and psi is not None
             and precision in ("default", "sr", "high")
-            and GB % 8 == 0 and B <= 8 and T >= 384
-            and tc_eff * npad <= 1024 * 256
+            and plan is not None and (plan[0] * B) % 8 == 0
+            and B <= 8 and T >= 384
             and _use_pallas_gram()
             and (len(jax.devices()) == 1 or local_spmd)
             and mesh is None
             and os.environ.get("PYGLM_SS_BACKEND") != "xla"):
         from pyglm_tpu.ops.ss_pallas import resample_spike_slab_fused
+        G_f, tc_eff = plan
         LAST_SS_PATH = "fused"
         k_kern, k_bias = jax.random.split(key)
         A, w_nb, u, sum_om = resample_spike_slab_fused(
             k_kern, Xt, omega, kappa, psi, w_full[: N_pre * B],
-            hyp.mu, hyp.Lam, hyp.logit_rho, B, G,
+            hyp.mu, hyp.Lam, hyp.logit_rho, B, G_f,
             t_chunk=tc_eff, gram=_GRAM_MODES[precision])
         b_old = w_full[P - 1]
         # u comes back bf16 under gram='sr' (stream format): accumulate the
