@@ -280,20 +280,32 @@ def chain_data_shardings(mesh, st, datas):
 
 def run_stacked_chains(model, n_chains: int, n_samples: int,
                        n_burnin: int = 0, thin: int = 1, seeds=None,
-                       max_sweeps_per_launch: int = 250, mesh=None):
+                       max_sweeps_per_launch: int = 250, mesh=None,
+                       collect: str = "samples"):
     """Run C prior-initialized chains with the lane-stacked sweep.
 
-    Returns a list of C per-chain dicts {'A' (S,N,N), 'W' (S,N,N,B),
-    'bias' (S,N), 'lls' (S,)} — the same contract as model.fit_compiled,
-    so NonlinearAutoregressiveModel.fit_ensemble can assemble R-hat
+    With ``collect="samples"`` (default) returns a list of C per-chain
+    dicts {'A' (S,N,N), 'W' (S,N,N,B), 'bias' (S,N), 'lls' (S,)} — the
+    same contract as model.fit_compiled, so
+    NonlinearAutoregressiveModel.fit_ensemble can assemble R-hat
     identically for both execution paths. Chain c is seeded exactly like
     the sequential path (fold_in(key(seed_c), 0x5EED) then a prior init),
     so the two paths draw from the same initialization distribution.
+
+    With ``collect="mean"`` the post-burn-in sweeps are NOT materialized:
+    per-chain posterior means of A and W_effective accumulate in the scan
+    carry (O(state) device memory) and the return value is one dict
+    {'A_mean' (C,N,N), 'Weff_mean' (C,N,N), 'lls' (S,C) float32,
+    'final_states': list of C GLMState}. This is the estimator mode for
+    big models — at N=500, C=8 the sample stacks fit_ensemble would
+    otherwise host-stage run to tens of GB. ``thin`` is ignored (every
+    post-burn-in sweep contributes to the mean).
 
     With ``mesh`` (a ('chain',) mesh from make_chain_mesh) the stacked
     sweep is sharded chain-major across devices: each device sweeps
     C/M chains locally on replicated data (make_stacked_sweep_sharded).
     """
+    assert collect in ("samples", "mean"), collect
     assert model.datas, "call add_data() or generate(keep=True) first"
     C = n_chains
     if seeds is None:
@@ -359,8 +371,22 @@ def run_stacked_chains(model, n_chains: int, n_samples: int,
             return s, (s.A, s.W, s.b, diags["log_likelihood"][-1])
         return jax.lax.scan(one, st, jax.random.split(key, length))
 
+    def mean_seg(key, st, datas, accA, accW, length):
+        def step(carry, k):
+            s, aA, aW = carry
+            # same key derivation as sample_seg at thin=1, so
+            # collect="mean" reproduces collect="samples" means EXACTLY
+            # (tests/test_ensemble.py cross-checks bit-level)
+            s, diag = sweep(jax.random.split(k, 1)[0], s, datas)
+            weff = jnp.sum(s.A[..., None] * s.W, axis=-1)   # (C, N, N)
+            return (s, aA + s.A, aW + weff), diag["log_likelihood"]
+        (st, accA, accW), lls = jax.lax.scan(
+            step, (st, accA, accW), jax.random.split(key, length))
+        return st, accA, accW, lls                          # lls (len, C)
+
     burn_j = jax.jit(burn_seg, static_argnames=("length",))
     sample_j = jax.jit(sample_seg, static_argnames=("length",))
+    mean_j = jax.jit(mean_seg, static_argnames=("length",))
 
     left = n_burnin
     while left > 0:
@@ -369,6 +395,22 @@ def run_stacked_chains(model, n_chains: int, n_samples: int,
         st = burn_j(k, st, datas, length=c)
         float(jnp.sum(st.b))            # host sync (axon: block is a no-op)
         left -= c
+
+    if collect == "mean":
+        accA = jnp.zeros_like(st.A)     # (C, N, N), inherits st's sharding
+        accW = jnp.zeros_like(st.A)
+        lls_out = []
+        left = n_samples
+        while left > 0:
+            c = min(left, cap)
+            key, k = jax.random.split(key)
+            st, accA, accW, lls = mean_j(k, st, datas, accA, accW, length=c)
+            lls_out.append(np.asarray(lls))
+            left -= c
+        return {"A_mean": np.asarray(accA) / n_samples,
+                "Weff_mean": np.asarray(accW) / n_samples,
+                "lls": np.concatenate(lls_out, axis=0),     # (S, C)
+                "final_states": unstack_states(st, C)}
 
     out = {"A": [], "W": [], "bias": [], "lls": []}
     left = n_samples

@@ -378,7 +378,7 @@ class NonlinearAutoregressiveModel:
     def fit_ensemble(self, n_chains: int = 4, n_samples: int = 100,
                      n_burnin: int = 0, thin: int = 1, seeds=None,
                      compiled: bool = True, stacked: bool | str = "auto",
-                     mesh=None):
+                     mesh=None, collect: str = "samples"):
         """Run ``n_chains`` independent Gibbs chains from fresh prior
         initializations on the registered data, with split-R̂ convergence
         diagnostics over the pooled traces.
@@ -416,6 +416,18 @@ class NonlinearAutoregressiveModel:
         'rhat_bias' (N,) and 'rhat_ll' (scalar). R̂ ≲ 1.01 across the
         board indicates the chains have mixed. The model's own chain
         state and key are restored afterwards.
+
+        Posterior-mean mode: ``collect="mean"`` skips sample
+        materialization entirely — per-chain posterior means accumulate
+        in the compiled scan carry (O(state) memory; at N=500, C=8 the
+        sample stacks would be tens of GB) and the return dict is instead
+        {'A_mean' (C,N,N), 'Weff_mean' (C,N,N), 'A_mean_pooled' (N,N),
+        'Weff_mean_pooled' (N,N), 'lls' (C,S), 'rhat_ll',
+        'final_states': list of C GLMState}. The POOLED means are the
+        measured-best config-5-scale estimator (BASELINE.md round-4 PT
+        study: 8 pooled chains AUC 0.875 vs 0.823 single at matched
+        FLOPs); benchmarks/acceptance.py gates it. Requires the stacked
+        path (any mesh kind is fine); ``thin`` is ignored.
         """
         from pyglm_tpu.utils.metrics import split_rhat
 
@@ -434,6 +446,11 @@ class NonlinearAutoregressiveModel:
             stacked = True
         if stacked == "auto":
             stacked = self._mesh is None and compiled
+        assert collect in ("samples", "mean"), collect
+        if collect == "mean":
+            assert stacked, (
+                "collect='mean' accumulates in the lane-stacked scan; it "
+                "needs the stacked path (unsharded model or mesh=)")
         state0, key0 = self.state, self._key
         if seeds is None:
             seeds = range(1, n_chains + 1)
@@ -443,7 +460,8 @@ class NonlinearAutoregressiveModel:
                 from pyglm_tpu.models.ensemble import run_stacked_chains
                 runs = run_stacked_chains(
                     self, n_chains, n_samples=n_samples,
-                    n_burnin=n_burnin, thin=thin, seeds=seeds, mesh=mesh)
+                    n_burnin=n_burnin, thin=thin, seeds=seeds, mesh=mesh,
+                    collect=collect)
             else:
                 for sd in seeds:
                     # distinct, reproducible key stream per chain
@@ -457,6 +475,14 @@ class NonlinearAutoregressiveModel:
                                     thin=thin))
         finally:
             self.state, self._key = state0, key0
+        if collect == "mean":
+            out = runs                       # dict from run_stacked_chains
+            out["lls"] = out["lls"].T        # (S, C) -> (C, S)
+            out["A_mean_pooled"] = out["A_mean"].mean(axis=0)
+            out["Weff_mean_pooled"] = out["Weff_mean"].mean(axis=0)
+            out["rhat_ll"] = float(np.asarray(
+                split_rhat(out["lls"][..., None]))[0])
+            return out
         out = {k: np.stack([r[k] for r in runs])
                for k in ("A", "W", "bias", "lls")}
         out["rhat_edge"] = split_rhat(out["A"])

@@ -74,6 +74,36 @@ def test_stacked_chains_are_distinct(fitted_pair):
         assert not np.allclose(stk["bias"][0], stk["bias"][c])
 
 
+def test_collect_mean_matches_samples_exactly():
+    """collect='mean' must reproduce the thin=1 samples path EXACTLY:
+    the mean-mode scan derives its per-sweep keys identically
+    (split(k, 1)[0] == the thin-mechanism key at thin=1), so per-chain
+    posterior means and the ll traces agree to float tolerance, not just
+    statistically."""
+    true = _make_model(seed=42)
+    Y = true.generate(600, keep=False)
+    m = _make_model(seed=0)
+    m.add_data(Y)
+    stk = m.fit_ensemble(n_chains=3, n_samples=25, n_burnin=8,
+                         stacked=True)
+    mean = m.fit_ensemble(n_chains=3, n_samples=25, n_burnin=8,
+                          collect="mean")
+    # identical key streams -> identical sweeps -> identical ll traces
+    np.testing.assert_array_equal(mean["lls"], stk["lls"])
+    A_ref = stk["A"].mean(axis=1)
+    Weff_ref = np.sum(stk["A"][..., None] * stk["W"], axis=-1).mean(axis=1)
+    # accumulation order differs (running f32 sum vs stacked np.mean),
+    # so tolerance is float roundoff, not MC error
+    np.testing.assert_allclose(mean["A_mean"], A_ref, atol=1e-5)
+    np.testing.assert_allclose(mean["Weff_mean"], Weff_ref, atol=1e-5)
+    np.testing.assert_allclose(mean["A_mean_pooled"], A_ref.mean(0),
+                               atol=1e-5)
+    np.testing.assert_allclose(mean["Weff_mean_pooled"], Weff_ref.mean(0),
+                               atol=1e-5)
+    assert len(mean["final_states"]) == 3
+    assert np.isfinite(mean["rhat_ll"])
+
+
 def test_stacked_nb_aux_roundtrip():
     """NB family: per-chain dispersion aux must pack/unpack through the
     lane layout (a transposed-lane bug would mix chains' r values)."""
