@@ -40,3 +40,48 @@ print(f"ESS(loglik) per chain: {np.round(ess, 1)} of {out['lls'].shape[1]}")
 # pooled posterior across converged chains
 A_mean = out["A"].reshape(-1, N, N).mean(0)
 print(f"pooled link AUC vs truth: {link_auc(A_mean, true.A):.3f}")
+
+# --- figures: R-hat / ESS at a glance (VERDICT r4 next #8) ----------------
+try:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+except ImportError:
+    print("matplotlib unavailable; skipping figures")
+    sys.exit(0)
+
+fig, axes = plt.subplots(2, 2, figsize=(10, 8))
+
+# per-chain log-likelihood traces: overdispersed starts funneling together
+for c in range(out["lls"].shape[0]):
+    axes[0, 0].plot(out["lls"][c], lw=0.8, label=f"chain {c}")
+axes[0, 0].set_title("log-likelihood traces (4 prior-initialized chains)")
+axes[0, 0].set_xlabel("post-burn-in sample")
+axes[0, 0].legend(loc="lower right", fontsize=8)
+
+# split-R-hat distribution over the edge marginals
+axes[0, 1].hist(out["rhat_edge"].ravel(), bins=40)
+axes[0, 1].axvline(1.1, color="r", ls="--", lw=1, label="1.1 threshold")
+axes[0, 1].set_title("split-$\\hat R$ over edge marginals $A_{jn}$")
+axes[0, 1].set_xlabel("$\\hat R$")
+axes[0, 1].legend()
+
+# per-neuron bias R-hat
+axes[1, 0].plot(np.sort(out["rhat_bias"]), "o-", ms=3)
+axes[1, 0].axhline(1.1, color="r", ls="--", lw=1)
+axes[1, 0].set_title("split-$\\hat R$ per bias (sorted)")
+axes[1, 0].set_xlabel("neuron (sorted)")
+axes[1, 0].set_ylabel("$\\hat R$")
+
+# ESS of the loglik trace per chain
+axes[1, 1].bar(np.arange(len(ess)), ess)
+axes[1, 1].axhline(out["lls"].shape[1], color="k", ls=":", lw=1,
+                   label="chain length (iid bound)")
+axes[1, 1].set_title("ESS(loglik) per chain")
+axes[1, 1].set_xlabel("chain")
+axes[1, 1].legend()
+
+out_png = os.path.join(os.path.dirname(__file__),
+                       "convergence_diagnostics.png")
+fig.savefig(out_png, dpi=120, bbox_inches="tight")
+print(f"wrote {out_png}")
