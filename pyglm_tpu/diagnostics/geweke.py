@@ -8,9 +8,17 @@ conditional update shows up as a drift away from the prior marginals. This is
 the ecosystem-canonical correctness test for Linderman-style Gibbs samplers
 (SURVEY.md §4: pyhawkes test/geweke*; the pre-rewrite pyglm had the same).
 
-TPU-native twist: the whole chain runs inside one ``lax.scan`` — generation,
-design convolution, and the sweep are a single compiled program, so a 2000-
-iteration Geweke chain takes seconds rather than the reference's minutes.
+TPU-native twist: the chain runs as compiled ``lax.scan`` segments —
+generation, design convolution, and the sweep are a single compiled program,
+so a 2000-iteration Geweke chain takes seconds rather than the reference's
+minutes. The scan is segmented at the host level (``seg_iters``) because the
+axon TPU runtime crashes its worker when one program execution issues more
+than ~10k Pallas kernel launches (measured: 4000-iteration scans with 1-2
+Pallas calls per body run fine; 3 calls per body — the NB/Binomial sweeps —
+fault the worker; the same 4000 iterations in host-chunked segments with the
+same keys run clean). Segmenting is bitwise-identical to the monolithic scan:
+the per-iteration keys are precomputed from one split, and the carry stays on
+device between segments.
 """
 from __future__ import annotations
 
@@ -28,7 +36,7 @@ from pyglm_tpu.models.sweep import (
 def geweke_chain(key, obs, network, N: int, B: int, basis, T: int,
                  spike_slab: bool, n_iters: int = 2000, t_chunk: int = 64,
                  precision: str = "highest", with_xt: bool = False,
-                 with_llc: bool = False):
+                 with_llc: bool = False, seg_iters: int = 500):
     """Run the successive-conditional simulator; returns per-iteration
     parameter summaries (host numpy dict).
 
@@ -91,8 +99,22 @@ def geweke_chain(key, obs, network, N: int, B: int, basis, T: int,
         return state, out
 
     keys = jax.random.split(k_chain, n_iters)
-    _, series = jax.jit(lambda s, ks: lax.scan(step, s, ks))(state0, keys)
-    return {k: np.asarray(v) for k, v in series.items()}
+    seg = max(1, min(int(seg_iters), n_iters))
+    n_seg = -(-n_iters // seg)
+    pad = n_seg * seg - n_iters
+    if pad:
+        # pad with copies of the last key so every segment has the static
+        # length `seg` (one compile); padded iterations are discarded below.
+        keys = jnp.concatenate([keys, jnp.repeat(keys[-1:], pad, axis=0)])
+    run = jax.jit(lambda s, ks: lax.scan(step, s, ks))
+    state, chunks = state0, []
+    for i in range(n_seg):
+        state, out = run(state, keys[i * seg:(i + 1) * seg])
+        # pull each segment to host immediately: bounds the per-program
+        # Pallas launch count AND the device-side output footprint.
+        chunks.append({k: np.asarray(v) for k, v in out.items()})
+    return {k: np.concatenate([c[k] for c in chunks])[:n_iters]
+            for k in chunks[0]}
 
 
 def ks_two_sample(samples, reference, thin: int = 1):

@@ -40,6 +40,24 @@ N_ITERS = 4000
 BURN = 500
 
 
+def _reset_path_markers():
+    """Reset the trace-time kernel-path markers AND drop the in-process jit
+    caches of the nested-jitted dispatchers that set them. The markers fire
+    when the dispatcher's Python body runs, i.e. at TRACE time — but
+    `weights._tspace_impl` and `polyagamma._polya_gamma_impl` are jitted
+    themselves, so a later sweep with an identical (shape, static-arg)
+    signature is served from the jit cache without re-running the body,
+    leaving the marker stale (the NB/Binomial lanes share the Bernoulli
+    lane's _tspace_impl signature). Clearing the traces forces a re-trace;
+    the persistent compile cache keeps the recompile cheap."""
+    import pyglm_tpu.models.weights as weights_mod
+    import pyglm_tpu.ops.polyagamma as pg_mod
+    weights_mod.LAST_SS_PATH = None
+    pg_mod.LAST_GAMMA_PATH = None
+    weights_mod._tspace_impl.clear_cache()
+    pg_mod._polya_gamma_impl.clear_cache()
+
+
 def _tau_int(x, c=5.0):
     """Integrated autocorrelation time (Sokal windowing)."""
     x = np.asarray(x, np.float64)
@@ -66,7 +84,7 @@ def fused_chain():
     net = ErdosRenyiConfig(
         N=N, B=B, rho_init=0.4, learn_rho=False, learn_weight_prior=False,
         sigma_w=0.25, mu_bias=-1.5, sigma_bias=0.3)
-    weights_mod.LAST_SS_PATH = None
+    _reset_path_markers()
     series = geweke_chain(jax.random.key(7), obs, net, N, B, basis, T,
                           spike_slab=True, n_iters=N_ITERS, t_chunk=384,
                           precision="high", with_xt=True)
@@ -116,8 +134,7 @@ def nb_fused_chain():
     net = ErdosRenyiConfig(
         N=N, B=B, rho_init=0.4, learn_rho=False, learn_weight_prior=False,
         sigma_w=0.01, mu_bias=-1.5, sigma_bias=0.2)
-    weights_mod.LAST_SS_PATH = None
-    pg_mod.LAST_GAMMA_PATH = None
+    _reset_path_markers()
     series = geweke_chain(jax.random.key(11), obs, net, N, B, basis, T,
                           spike_slab=True, n_iters=N_ITERS, t_chunk=384,
                           precision="high", with_xt=True, with_llc=True)
@@ -176,8 +193,7 @@ def binom_fused_chain():
     net = ErdosRenyiConfig(
         N=N, B=B, rho_init=0.4, learn_rho=False, learn_weight_prior=False,
         sigma_w=0.05, mu_bias=-1.0, sigma_bias=0.3)
-    weights_mod.LAST_SS_PATH = None
-    pg_mod.LAST_GAMMA_PATH = None
+    _reset_path_markers()
     series = geweke_chain(jax.random.key(12), obs, net, N, B, basis, T,
                           spike_slab=True, n_iters=N_ITERS, t_chunk=384,
                           precision="high", with_xt=True)

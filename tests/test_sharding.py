@@ -206,9 +206,15 @@ def _structured_family(family, N=16, T=512, seed=3):
         kw = dict(obs_kwargs=dict(eta_init=1.0),
                   net_kwargs=dict(rho_init=0.2, learn_rho=False, mu_bias=0.2,
                                   sigma_w=0.02, learn_weight_prior=False))
+        # eta_true=0.3 (r5, VERDICT r4 weak #5): at the old eta=0.1 the
+        # near-noiseless identity link froze the fixed-coupling A posterior
+        # (per-edge seed scatter ~0.26 mean-abs -> the loose 0.45 gate);
+        # at SNR~sigma_w/eta=0.07 boundary edges keep real posterior
+        # uncertainty and single-site Gibbs traverses them (measured
+        # scatter 0.081 over 4 seeds at the 250-sweep protocol).
         true = pt.SparseGaussianGLM(
             N, B=2, L=4, seed=seed,
-            obs_kwargs=dict(eta_init=0.1, resample_eta=False),
+            obs_kwargs=dict(eta_init=0.3, resample_eta=False),
             net_kwargs=kw["net_kwargs"])
         Y = true.generate(T, keep=False)
         build = lambda s: pt.SparseGaussianGLM(  # noqa: E731
@@ -257,6 +263,11 @@ def test_sharded_chain_statistical_parity_structured(family):
     the latent-distance density/gamma marginals mix slowly at this budget
     (seed scatter ~±0.07/±0.6) and carry correspondingly loose gates."""
     N, T, SW, BURN = 16, 512, 100, 40
+    if family == "gaussian":
+        # Longer gaussian chains (r5): deterministic-omega edges mix
+        # slowest, and the 250-sweep average is what the tightened 0.22
+        # per-edge gate was calibrated against (4-seed scatter 0.081).
+        SW, BURN = 250, 50
     Y, build = _structured_family(family, N=N, T=T)
 
     def run(seed, shard):
@@ -293,28 +304,27 @@ def test_sharded_chain_statistical_parity_structured(family):
     ll_u, dens_u, ex_u, Am_u = run(11, shard=False)
     ll_s, dens_s, ex_s, Am_s = run(11, shard=True)
 
-    # Gaussian's LL marginal has larger seed-to-seed scatter (|ll| is ~3x
-    # smaller and eta is learned; measured rel scatter 0.007-0.026 across
-    # seeds 11/12/13 at this protocol) — family-specific gate at ~2.5x.
-    ll_tol = {"gaussian": 0.06}.get(family, 0.01)
+    # Gaussian gates retightened in r5 (VERDICT r4 weak #5): at the new
+    # eta_true=0.3 synthetic + 250-sweep protocol the 4-seed scatter is
+    # dll_rel<=0.0033, ddens<=0.011, per-edge dAm mean 0.081 — gates ~2.5x.
+    ll_tol = {"gaussian": 0.01}.get(family, 0.01)
     assert abs(ll_u - ll_s) / abs(ll_u) < ll_tol, (ll_u, ll_s)
     dens_tol = {"latent_distance": 0.12, "sbm": 0.15,
-                "negative_binomial": 0.05, "gaussian": 0.07,
+                "negative_binomial": 0.05, "gaussian": 0.03,
                 "binomial": 0.05}[family]
     assert abs(dens_u - dens_s) < dens_tol, (dens_u, dens_s)
-    # Gaussian per-edge A marginals are sticky in ANY exact sampler at this
-    # budget (deterministic omega => fixed-coupling Ising-like A posterior;
-    # same effect documented in test_numpy_parity's Gaussian config — seed
-    # scatter 0.25-0.28 mean-abs), so its per-edge gate is a loose sanity
-    # check and the tight gates are LL/density/eta.
+    # Per-edge gates ~2.5x the measured per-family seed scatter; gaussian's
+    # was 0.45 through r4 (eta=0.1 froze the fixed-coupling A posterior,
+    # scatter ~0.26) and is 0.22 at the r5 synthetic/protocol — now as
+    # tight as the PG families'.
     am_tol = {"latent_distance": 0.35, "sbm": 0.40,
-              "negative_binomial": 0.25, "gaussian": 0.45,
+              "negative_binomial": 0.25, "gaussian": 0.22,
               "binomial": 0.25}[family]
     assert np.abs(Am_u - Am_s).mean() < am_tol, np.abs(Am_u - Am_s).mean()
     if family == "negative_binomial":
         assert abs(ex_u - ex_s) / abs(ex_u) < 0.08, (ex_u, ex_s)
     elif family == "gaussian":
-        # mean posterior eta (seed scatter ~0.002 at mean ~0.11)
+        # mean posterior eta (4-seed scatter <=0.002 at mean ~0.305)
         assert abs(ex_u - ex_s) < 0.01, (ex_u, ex_s)
     elif family == "binomial":
         # mean posterior bias (seed scatter ~0.04 at mean ~-1.86)
