@@ -79,6 +79,12 @@ def geweke_chain(key, obs, network, N: int, B: int, basis, T: int,
             "n_active": n_act,
             "W_sum": Wsum,
             "W_sq": Wsq,
+            # Max regenerated observation: the first thing to check when a
+            # count-family chain corrupts. The exp-link NB autoregression is
+            # explosive for supercritical prior configs — a runaway shows up
+            # here as y_max ~ 1e6 (the generator's lam clamp) one iteration
+            # before the f32 overflow cascade NaNs the state.
+            "y_max": jnp.max(Y),
         }
         if hasattr(state.net, "rho"):
             out["rho"] = state.net.rho

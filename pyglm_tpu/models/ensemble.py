@@ -280,7 +280,7 @@ def chain_data_shardings(mesh, st, datas):
 
 def run_stacked_chains(model, n_chains: int, n_samples: int,
                        n_burnin: int = 0, thin: int = 1, seeds=None,
-                       max_sweeps_per_launch: int = 250, mesh=None,
+                       max_sweeps_per_launch: int | None = None, mesh=None,
                        collect: str = "samples"):
     """Run C prior-initialized chains with the lane-stacked sweep.
 
@@ -352,7 +352,13 @@ def run_stacked_chains(model, n_chains: int, n_samples: int,
             model.observation, model.network, model.N, model.B, C,
             model.spike_and_slab, t_chunk=model._t_chunk,
             precision=model._precision)
-    cap = max(1, max_sweeps_per_launch)
+    # One device program's wall time scales with C x the single-chain sweep
+    # cost, and the axon worker kills multi-minute programs (observed: the
+    # default 250-sweep launch is fine for one N=500 chain at ~11 s but the
+    # C=8 stacked equivalent ran ~90 s and crashed the worker — acceptance
+    # r5). The auto default divides the calibrated single-chain budget by C.
+    cap = max(1, (250 // C) if max_sweeps_per_launch is None
+              else max_sweeps_per_launch)
     if thin > cap:
         raise ValueError(f"thin={thin} exceeds max_sweeps_per_launch={cap}")
 

@@ -493,7 +493,7 @@ class NonlinearAutoregressiveModel:
     def fit_tempered(self, n_samples: int = 100, n_burnin: int = 0,
                      thin: int = 1, n_rungs: int = 8, betas=None,
                      accept: float = 0.3, pilot_sweeps: int = 200,
-                     seeds=None, max_sweeps_per_launch: int = 250,
+                     seeds=None, max_sweeps_per_launch: int | None = None,
                      mesh=None):
         """Parallel-tempered Gibbs: a ``n_rungs`` inverse-temperature ladder
         β_1 < … < β_C = 1 run as ONE lane-stacked sweep, with adjacent-rung
@@ -560,7 +560,11 @@ class NonlinearAutoregressiveModel:
             assert "chain" in mesh.shape, (
                 "fit_tempered mesh must have a 'chain' axis "
                 "(parallel.sharding.make_chain_mesh)")
-        cap = max(1, max_sweeps_per_launch)
+        # Same per-launch wall-time bound as run_stacked_chains: the ladder
+        # stacks n_rungs lane-chains into one program, so the auto default
+        # divides the single-chain 250-sweep budget by the rung count.
+        cap = max(1, (250 // max(1, n_rungs)) if max_sweeps_per_launch is None
+                  else max_sweeps_per_launch)
         if thin > cap:
             raise ValueError(
                 f"thin={thin} exceeds max_sweeps_per_launch={cap}")

@@ -129,11 +129,18 @@ def nb_fused_chain():
 
     basis = cosine_basis(B=B, L=L)
     a_r, b_r = 4.0, 2.0
+    # The prior config must keep the exp-link autoregression SUBCRITICAL:
+    # at (rho=0.4, sigma_w=0.01, mu_bias=-1.5) the prior-predictive runaway
+    # probability is ~1e-3/iteration (measured: y saturates the generator's
+    # 1e6 lam clamp, the f32 weight update overflows, and the NaN poisons r
+    # for the rest of the chain — reproduced identically on CPU/XLA and
+    # TPU/Pallas, so a config instability, not a kernel bug). The config
+    # below measured y_max <= ~30 over the full 4000-iteration chain.
     obs = NegativeBinomial(r_init=2.0, resample_r=True, a_r=a_r, b_r=b_r,
                            max_y=128)
     net = ErdosRenyiConfig(
-        N=N, B=B, rho_init=0.4, learn_rho=False, learn_weight_prior=False,
-        sigma_w=0.01, mu_bias=-1.5, sigma_bias=0.2)
+        N=N, B=B, rho_init=0.25, learn_rho=False, learn_weight_prior=False,
+        sigma_w=0.004, mu_bias=-2.0, sigma_bias=0.2)
     _reset_path_markers()
     series = geweke_chain(jax.random.key(11), obs, net, N, B, basis, T,
                           spike_slab=True, n_iters=N_ITERS, t_chunk=384,
@@ -141,6 +148,11 @@ def nb_fused_chain():
     # Both hot kernels must actually have compiled in.
     assert weights_mod.LAST_SS_PATH == "fused", weights_mod.LAST_SS_PATH
     assert pg_mod.LAST_GAMMA_PATH == "pallas", pg_mod.LAST_GAMMA_PATH
+    # Loud guard for the two silent chain-killers: an autoregressive
+    # runaway (y_max ~ 1e6) and a violated count-table bound (y > max_y
+    # biases the collapsed-CRT r update with no error under tracing).
+    assert float(series["y_max"].max()) <= obs.max_y, series["y_max"].max()
+    assert np.all(np.isfinite(series["r"])), "dispersion series went NaN"
     return series, net, (a_r, b_r)
 
 
